@@ -1,0 +1,229 @@
+"""GLC decoder: container parse → device IMDCT/window/overlap-add → trim.
+
+API mirrors the reference (reference src/codec.rs:571-768):
+
+    dec = Decoder(channels, sample_rate)
+    samples = dec.decode(encoded)                    # trimmed, interleaved
+    rx = dec.decode_streaming(encoded, progress_cb)  # queue of AudioChunk
+
+The reference's producer thread + bounded(5) crossbeam channel + 32-frame
+rayon batches (codec.rs:595-741) become: a producer thread driving chunked
+jitted device calls, a bounded `queue.Queue(5)`, and frame-batched tensor ops.
+The sequential overlap buffer is a shifted add (see ops/decode.py); only a
+[C, n] carry crosses chunk boundaries.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..config import CodecConfig, DEFAULT_CONFIG
+from ..container.schema import AudioChunk, EncodedAudio, FrameSet, Progress
+from ..ops.decode import decode_chunk_device
+from .tables import chunk_size_for, get_device_tables
+
+ProgressSender = Callable[[Progress], None]
+
+
+def _dense_slices(fs: FrameSet, start: int, count: int, n: int,
+                  reference_compat: bool = True):
+    """Scatter sparse pairs of frames [start, start+count) into dense arrays.
+
+    Returns (q int16 [count,C,n], scales f32 [count,C], raw int16
+    [count,C,frame_size], is_raw bool [count]).  The raw-PCM byte layout is
+    read back *interleaved* (sample_idx = i*channels + ch,
+    reference src/codec.rs:636) even though the encoder stored it
+    channel-major — quirk Q13, reproduced for parity.
+    """
+    C = fs.channels
+    frame_size = fs.frame_size
+    nnz = fs.nnz[start : start + count]              # [count, C]
+    is_raw = fs.raw_mask[start : start + count]
+
+    q = np.zeros((count, C, n), np.int16)
+    pair_start = int(fs.nnz[:start].sum())
+    K = int(nnz.sum())
+    if K:
+        pairs = fs.pairs[pair_start : pair_start + K]
+        flat_fc = np.repeat(np.arange(count * C), nnz.reshape(-1))
+        kidx = pairs["k"].astype(np.int64)
+        ok = kidx < n  # reference skips out-of-range indices (codec.rs:661)
+        qv = q.reshape(count * C, n)
+        qv[flat_fc[ok], kidx[ok]] = pairs["q"][ok]
+
+    raw = np.zeros((count, C, frame_size), np.int16)
+    if is_raw.any():
+        raw_before = int(np.count_nonzero(fs.raw_mask[:start]))
+        rows = fs.raw_pcm[raw_before : raw_before + int(is_raw.sum())]
+        if reference_compat:
+            # interleaved read-back of channel-major data (Q13)
+            raw[is_raw] = rows.reshape(-1, frame_size, C).transpose(0, 2, 1)
+        else:
+            # clean mode: read channel-major, as actually stored
+            raw[is_raw] = rows.reshape(-1, C, frame_size)
+
+    return q, fs.scales[start : start + count], raw, is_raw
+
+
+class Decoder:
+    """reference src/codec.rs:571-592 (stateless in practice, Q8)."""
+
+    def __init__(
+        self,
+        channels: int,
+        sample_rate: int,
+        config: Optional[CodecConfig] = None,
+    ):
+        self.channels = int(channels)
+        self.sample_rate = int(sample_rate)
+        self.config = config or DEFAULT_CONFIG
+        self._tables = get_device_tables(
+            self.config.n, self.config.frame_size, self.sample_rate
+        )
+
+    # --- streaming decode (codec.rs:595-741) ---
+
+    def decode_streaming(
+        self,
+        encoded: EncodedAudio,
+        progress_sender: Optional[ProgressSender] = None,
+    ) -> "queue.Queue[AudioChunk]":
+        """Spawn a producer thread; returns a bounded queue of AudioChunk.
+
+        Chunks are frames_per_chunk (=500) frames of interleaved samples; the
+        final chunk carries the remainder plus the last overlap tail and has
+        ``is_last=True``.  Output is UNtrimmed, exactly like the reference
+        streaming path (the gapless trim only happens in `decode`,
+        codec.rs:744-768).
+        """
+        rx: "queue.Queue[AudioChunk]" = queue.Queue(maxsize=5)
+        t = threading.Thread(
+            target=self._produce,
+            args=(encoded, rx, progress_sender),
+            daemon=True,
+        )
+        t.start()
+        return rx
+
+    def _produce(self, encoded, rx, progress_sender):
+        cfg = self.config
+        n, C = cfg.n, encoded.header.channels
+        fs = encoded.frame_set
+        F = fs.num_frames
+        tb = self._tables
+        start_time = time.monotonic()
+
+        def send(p: Progress):
+            if progress_sender is not None:
+                progress_sender(p)
+
+        send(Progress.status(f"Starting streaming decode of {F} frames"))
+
+        flush_frames = cfg.frames_per_chunk
+        chunk = chunk_size_for(max(F, 1), cfg.decode_chunk_frames)
+        carry = jax.device_put(np.zeros((C, n), np.float32))
+        window_raw = not cfg.reference_compat  # fix Q4 in clean mode
+
+        pending = []          # list of [K, C, n] hop arrays (numpy)
+        pending_frames = 0
+        emitted = 0           # frames emitted so far
+
+        def emit(frames_needed: int, hops_concat) -> None:
+            nonlocal emitted
+            # interleave [Kf, C, n] -> flat [Kf*n*C]
+            flat = hops_concat.transpose(0, 2, 1).reshape(-1)
+            rx.put(AudioChunk(samples=flat, is_last=False))
+            emitted += frames_needed
+
+        for start in range(0, F, chunk):
+            valid = min(chunk, F - start)
+            q, scales, raw, is_raw = _dense_slices(
+                fs, start, valid, n, cfg.reference_compat
+            )
+            if valid < chunk:
+                pad = chunk - valid
+                q = np.concatenate([q, np.zeros((pad, C, n), np.int16)])
+                scales = np.concatenate([scales, np.zeros((pad, C), np.float32)])
+                raw = np.concatenate(
+                    [raw, np.zeros((pad, C, cfg.frame_size), np.int16)]
+                )
+                is_raw = np.concatenate([is_raw, np.zeros(pad, bool)])
+
+            hops, carry = decode_chunk_device(
+                jax.device_put(q),
+                jax.device_put(scales),
+                jax.device_put(raw),
+                jax.device_put(is_raw),
+                carry,
+                np.int32(valid),
+                tb.cos_table, tb.window, tb.norm,
+                max_q=cfg.max_q,
+                window_raw=window_raw,
+            )
+            pending.append(np.asarray(hops)[:valid])
+            pending_frames += valid
+
+            # Flush in exact 500-frame chunks, mirroring the per-frame
+            # accumulate-and-flush of codec.rs:706-717.
+            while pending_frames >= flush_frames:
+                buf = np.concatenate(pending) if len(pending) > 1 else pending[0]
+                out, rest = buf[:flush_frames], buf[flush_frames:]
+                pending = [rest] if len(rest) else []
+                pending_frames -= flush_frames
+                # progress uses the 0-based index of the frame that filled
+                # the chunk (codec.rs:710-714)
+                idx = emitted + flush_frames - 1
+                send(Progress.decoding(idx / F * 100.0))
+                emit(flush_frames, out)
+
+        # Final chunk: remaining frames + last overlap tail (codec.rs:722-732)
+        tail = np.asarray(carry).T.reshape(1, -1)  # [1, n*C] interleaved
+        if pending_frames:
+            buf = np.concatenate(pending) if len(pending) > 1 else pending[0]
+            flat = buf.transpose(0, 2, 1).reshape(-1)
+            last = np.concatenate([flat, tail.reshape(-1)])
+        else:
+            last = tail.reshape(-1)
+        rx.put(AudioChunk(samples=last, is_last=True))
+
+        send(
+            Progress.complete(
+                f"Decoded {F} frames in {time.monotonic() - start_time:.2f}s"
+            )
+        )
+
+    # --- synchronous decode + gapless trim (codec.rs:744-768) ---
+
+    def decode(
+        self,
+        encoded: EncodedAudio,
+        progress_sender: Optional[ProgressSender] = None,
+    ) -> np.ndarray:
+        rx = self.decode_streaming(encoded, progress_sender)
+        parts = []
+        while True:
+            chunk = rx.get()
+            parts.append(chunk.samples)
+            if chunk.is_last:
+                break
+        all_samples = np.concatenate(parts) if parts else np.empty(0, np.float32)
+
+        gi = encoded.gapless_info
+        delay = gi.encoder_delay
+        if not self.config.reference_compat:
+            # Clean mode: the lead-in is per-channel, so the interleaved
+            # stream must drop delay × channels samples (fixes Q1).
+            delay *= encoded.header.channels
+        original_length = gi.original_length
+        # Mirror the reference's guarded drain/truncate exactly (codec.rs:756-767)
+        if len(all_samples) > delay:
+            all_samples = all_samples[delay:]
+        if len(all_samples) > original_length:
+            all_samples = all_samples[:original_length]
+        return all_samples

@@ -1,0 +1,58 @@
+"""Codec configuration constants.
+
+Mirrors the compile-time constants of the reference implementation
+(reference src/codec.rs:15-29).  Frozen dataclass so instances hash and can be
+closed over by jitted functions as static configuration.
+"""
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CodecConfig:
+    # Transform geometry (codec.rs:15-16)
+    frame_size: int = 2048  # 2N — samples per MDCT block
+    hop_size: int = 1024    # N — hop, 50% overlap
+
+    # Quantization (codec.rs:17, 24-25)
+    quantization_bits: int = 16
+    min_quantization_bits: int = 8
+    max_quantization_bits: int = 16
+
+    # Streaming (codec.rs:18-19)
+    frames_per_chunk: int = 500
+    decode_batch: int = 32
+
+    # Lossy parameters (codec.rs:22-23)
+    noise_floor_db: float = -48.0
+    quality_factor: float = 0.7
+
+    # Per-frame raw-PCM fallback threshold (codec.rs:29)
+    compression_threshold: float = 0.85
+
+    # --- Rebuild-specific knobs (not in the reference) ---
+    # Reproduce the reference's quirky behaviors exactly (SURVEY.md §2.9):
+    #  Q1  gapless trim in interleaved units (codec.rs:755-767)
+    #  Q4  raw-PCM frames windowed once at encode, not re-windowed at decode
+    #      (codec.rs:496-502 vs 626-643)
+    #  Q13 raw-PCM stored channel-major (codec.rs:471-503) but read back
+    #      interleaved (codec.rs:636) — scrambles stereo raw frames
+    # Setting reference_compat=False fixes all three (clean-path mode).
+    reference_compat: bool = True
+
+    # Device batching: frames per jitted chunk (static shape → one compile).
+    encode_chunk_frames: int = 4096
+    decode_chunk_frames: int = 4096
+
+    @property
+    def n(self) -> int:
+        """Number of MDCT coefficients per frame (= hop_size)."""
+        return self.hop_size
+
+    @property
+    def max_q(self) -> float:
+        """Fixed quantization denominator 2^(bits-1) (codec.rs:281,656)."""
+        return float(1 << (self.quantization_bits - 1))
+
+
+DEFAULT_CONFIG = CodecConfig()

@@ -1,0 +1,16 @@
+"""Test environment: force CPU with 8 virtual devices.
+
+Multi-chip sharding code is tested on a virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8), the TPU analog of the
+reference's rayon-thread-scaling tests (reference tests/test_performance.rs:134-156).
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,116 @@
+"""Locks down the reference's quirky behaviors (SURVEY.md §2.9) and the
+clean-path fixes behind reference_compat=False.
+
+These quirks are the behavioral contract for parity with the reference; the
+clean mode demonstrates the fixes without changing the wire format.
+"""
+
+import numpy as np
+
+from glc_tpu import CodecConfig, Decoder, Encoder
+from utils import calculate_snr, generate_sine_wave, generate_white_noise
+
+CLEAN = CodecConfig(reference_compat=False)
+
+
+def test_q1_interleaved_trim_shifts_stereo():
+    """Q1 (codec.rs:755-767): the gapless trim drains encoder_delay=512
+    *interleaved* samples, so stereo is shifted by 256 per channel and the
+    first 256 per-channel lead-in zeros remain.  Length is still exact."""
+    samples = generate_sine_wave(440.0, 44100, 2, 1.0)
+    encoded = Encoder(44100).encode(samples, 2)
+    decoded = Decoder(2, 44100).decode(encoded)
+    assert len(decoded) == len(samples)
+    # The compat decode is late by 256 per-channel samples (512 interleaved):
+    # compensating for the shift aligns it with the original...
+    snr_shifted = calculate_snr(samples[: len(samples) - 512], decoded[512:])
+    assert snr_shifted > 20.0, f"shift-compensated SNR: {snr_shifted}"
+    # ...while the clean mode aligns exactly (high SNR, no shift).
+    decoded_clean = Decoder(2, 44100, config=CLEAN).decode(
+        Encoder(44100, config=CLEAN).encode(samples, 2)
+    )
+    assert len(decoded_clean) == len(samples)
+    assert calculate_snr(samples, decoded_clean) > 20.0
+    # compat stereo SNR is poor (misaligned), clean is good
+    assert calculate_snr(samples, decoded) < 10.0
+
+
+def test_q1_mono_unaffected():
+    """For mono, interleaved units == per-channel units; both modes align."""
+    samples = generate_sine_wave(440.0, 44100, 1, 1.0)
+    compat = Decoder(1, 44100).decode(Encoder(44100).encode(samples, 1))
+    clean = Decoder(1, 44100, config=CLEAN).decode(
+        Encoder(44100, config=CLEAN).encode(samples, 1)
+    )
+    assert calculate_snr(samples, compat) > 20.0
+    np.testing.assert_allclose(compat, clean, atol=1e-6)
+
+
+def test_q2_padding_field_written():
+    """Q2: GaplessInfo.padding is set (codec.rs:546) though never read."""
+    samples = generate_sine_wave(440.0, 44100, 1, 1.0)  # 44100 per channel
+    encoded = Encoder(44100).encode(samples, 1)
+    T = 44100
+    lead = 512
+    P = lead + T
+    P = P + (1024 - P % 1024) % 1024 + lead
+    assert encoded.gapless_info.padding == P - T - lead
+    assert encoded.gapless_info.encoder_delay == 512
+    assert encoded.gapless_info.original_length == len(samples)
+
+
+def test_q4_raw_pcm_single_windowed():
+    """Q4 (codec.rs:496-502 vs 626-643): raw frames are windowed at encode
+    but not re-windowed at decode, so overlap-add sums w[i]+w[i+hop] ∈
+    [1, √2] instead of w²-complementary 1.  Mono white noise (all raw
+    frames) therefore shows amplitude modulation ≥ ~1.2× mid-seam in compat
+    mode; clean mode re-windows and reconstructs ~1:1."""
+    samples = generate_white_noise(44100, 1, 1.0, 7)
+    compat = Decoder(1, 44100).decode(Encoder(44100).encode(samples, 1))
+    clean = Decoder(1, 44100, config=CLEAN).decode(
+        Encoder(44100, config=CLEAN).encode(samples, 1)
+    )
+    # compat: RMS inflated by mean of (sin+cos) envelope ≈ 1.27
+    rms_in = float(np.sqrt(np.mean(samples[2048:-2048] ** 2)))
+    rms_compat = float(np.sqrt(np.mean(compat[2048:-2048] ** 2)))
+    rms_clean = float(np.sqrt(np.mean(clean[2048:-2048] ** 2)))
+    assert rms_compat / rms_in > 1.15
+    assert abs(rms_clean / rms_in - 1.0) < 0.02
+    assert calculate_snr(samples, clean) > 40.0
+
+
+def test_q13_raw_pcm_channel_scramble():
+    """Q13 (codec.rs:471-503 vs 636): raw PCM is stored channel-major but
+    read back interleaved, scrambling stereo raw frames.  With distinct L/R
+    noise, compat decode mangles the content; clean mode reconstructs it."""
+    rng_l = generate_white_noise(44100, 1, 0.5, 1)
+    rng_r = generate_white_noise(44100, 1, 0.5, 2)
+    samples = np.empty(2 * len(rng_l), np.float32)
+    samples[0::2] = rng_l
+    samples[1::2] = rng_r
+
+    encoded = Encoder(44100).encode(samples, 2)
+    assert bool(encoded.frame_set.raw_mask.all())
+    compat = Decoder(2, 44100).decode(encoded)
+    assert calculate_snr(samples, compat) < 0.0  # scrambled
+
+    clean_enc = Encoder(44100, config=CLEAN).encode(samples, 2)
+    clean = Decoder(2, 44100, config=CLEAN).decode(clean_enc)
+    assert calculate_snr(samples, clean) > 40.0
+
+
+def test_untrimmed_streaming_length():
+    """The streaming path never trims (codec.rs:744-768): total streamed
+    length is (num_frames+1)·hop·channels interleaved samples."""
+    samples = generate_sine_wave(440.0, 44100, 1, 1.0)
+    encoded = Encoder(44100).encode(samples, 1)
+    dec = Decoder(1, 44100)
+    rx = dec.decode_streaming(encoded)
+    total = 0
+    while True:
+        chunk = rx.get()
+        total += len(chunk.samples)
+        if chunk.is_last:
+            break
+    F = len(encoded.frames)
+    assert total == (F + 1) * 1024
