@@ -1,0 +1,187 @@
+"""FLAC encoder: device residual/Rice math + native bit packing.
+
+API mirrors the reference (reference src/flac.rs:946-1088):
+
+    data = encode_flac_with_level(samples, sample_rate, channels, level)
+    data = encode_flac(samples, sample_rate, channels)         # level 5
+    export_to_flac_with_level(path, samples, rate, ch, level)
+    export_to_flac(path, samples, rate, ch)
+
+Semantics preserved: 16-bit samples (f32 ×32767, clamp, truncate), block size
+by level (0-2 → 1152, 3-8 → 4096, clamped to [16, total]), fixed predictors
+only with order by level, independent channels always (Q7), partitioned Rice
+with 4-bit parameters capped at 14 (the escape path is dead code, Q6),
+MD5 of the interleaved little-endian i16 stream.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+from pathlib import Path
+from typing import Union
+
+import jax
+import numpy as np
+
+from ..io.audio import convert_f32_to_i16
+from ..native import get_native
+from . import bitpack
+from .ops import flac_block_stats, rice_params_from_sums
+
+
+class FlacError(ValueError):
+    pass
+
+
+_LEVEL_BLOCK_SIZE = {0: 1152, 1: 1152, 2: 1152, 3: 4096, 4: 4096, 5: 4096,
+                     6: 4096, 7: 4096, 8: 4096}
+
+
+def _compute_frame_data(i16: np.ndarray, channels: int, level: int):
+    """Frame the stream and run the device math.
+
+    Returns (block_sizes int32 [F], residuals flat int32, rice_params flat
+    int8) in the packer's layout: residuals frame-major then channel-major
+    with bs entries per channel (warm-up slots zeroed); params frame-major,
+    channel-major, partition-major.
+    """
+    total = len(i16) // channels
+    bs = max(min(_LEVEL_BLOCK_SIZE[level], total), 16)  # flac.rs:983-995
+
+    # Frame split mirrors flac.rs:1021-1049: full blocks then one partial.
+    F0 = total // bs
+    last = total - F0 * bs
+    block_sizes = [bs] * F0 + ([last] if last > 0 else [])
+
+    res_parts = []
+    rp_parts = []
+
+    def run_group(x_blocks: np.ndarray, gbs: int):
+        """x_blocks: [Fg, C, gbs] int32 deinterleaved blocks."""
+        order = bitpack.predictor_order(gbs, level)
+        po = bitpack.partition_order(gbs, order, level)
+        Fg, C, _ = x_blocks.shape
+        if order == 0:
+            res_parts.append(np.zeros(Fg * C * gbs, np.int32))
+            rp_parts.append(np.zeros(Fg * C * (1 << po), np.int8))
+            return
+        flat = x_blocks.reshape(Fg * C, gbs)
+        res_full, lo, hi = flac_block_stats(
+            jax.device_put(flat), order=order, po=po
+        )
+        res_parts.append(np.asarray(res_full).reshape(-1))
+        params = rice_params_from_sums(
+            np.asarray(lo), np.asarray(hi), gbs, order, po
+        )
+        rp_parts.append(params.reshape(-1))
+
+    if F0 > 0:
+        full = (
+            i16[: F0 * bs * channels]
+            .reshape(F0, bs, channels)
+            .transpose(0, 2, 1)
+            .astype(np.int32)
+        )
+        run_group(full, bs)
+    if last > 0:
+        part = (
+            i16[F0 * bs * channels : (F0 * bs + last) * channels]
+            .reshape(1, last, channels)
+            .transpose(0, 2, 1)
+            .astype(np.int32)
+        )
+        run_group(part, last)
+
+    residuals = (
+        np.concatenate(res_parts) if res_parts else np.empty(0, np.int32)
+    )
+    rice_params = (
+        np.concatenate(rp_parts) if rp_parts else np.empty(0, np.int8)
+    )
+    return np.asarray(block_sizes, np.int32), residuals, rice_params
+
+
+def encode_flac_with_level(
+    samples: np.ndarray,
+    sample_rate: int,
+    channels: int,
+    compression_level: int,
+) -> bytes:
+    """flac.rs:946-1052"""
+    i16 = convert_f32_to_i16(samples)  # flac.rs:955-958, same trunc cast
+    total = len(i16) // channels
+    if total < 16:
+        raise FlacError(
+            f"FLAC requires at least 16 samples per channel, got {total}"
+        )
+    if not (0 <= compression_level <= 8):
+        raise FlacError(
+            f"Invalid compression level {compression_level}, must be 0-8"
+        )
+
+    md5 = hashlib.md5(i16.astype("<i2").tobytes()).digest()  # flac.rs:304-318
+    block_sizes, residuals, rice_params = _compute_frame_data(
+        i16, channels, compression_level
+    )
+
+    lib = get_native()
+    if lib is not None:
+        c = ctypes
+        out_ptr = c.POINTER(c.c_uint8)()
+        out_len = c.c_int64()
+        i16c = np.ascontiguousarray(i16, "<i2")
+        resc = np.ascontiguousarray(residuals, np.int32)
+        rpc = np.ascontiguousarray(rice_params, np.int8)
+        bsc = np.ascontiguousarray(block_sizes, np.int32)
+        rc = lib.glc_flac_pack(
+            i16c.ctypes.data_as(c.POINTER(c.c_int16)),
+            len(i16c), channels, sample_rate, compression_level,
+            (c.c_uint8 * 16).from_buffer_copy(md5),
+            bsc.ctypes.data_as(c.POINTER(c.c_int32)), len(bsc),
+            resc.ctypes.data_as(c.POINTER(c.c_int32)),
+            rpc.ctypes.data_as(c.POINTER(c.c_int8)),
+            c.byref(out_ptr), c.byref(out_len),
+        )
+        if rc != 0:
+            raise FlacError(f"native FLAC packer failed: {rc}")
+        try:
+            return bytes(c.cast(
+                out_ptr, c.POINTER(c.c_uint8 * out_len.value)
+            ).contents)
+        finally:
+            lib.glc_free(out_ptr)
+
+    return bitpack.pack_stream(
+        i16, channels, sample_rate, compression_level, md5,
+        block_sizes, residuals, rice_params,
+    )
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int, channels: int) -> bytes:
+    """flac.rs:1055-1062 — default level 5."""
+    return encode_flac_with_level(samples, sample_rate, channels, 5)
+
+
+def export_to_flac_with_level(
+    path: Union[str, Path],
+    samples: np.ndarray,
+    sample_rate: int,
+    channels: int,
+    compression_level: int,
+) -> None:
+    """flac.rs:1064-1077"""
+    Path(path).write_bytes(
+        encode_flac_with_level(samples, sample_rate, channels,
+                               compression_level)
+    )
+
+
+def export_to_flac(
+    path: Union[str, Path],
+    samples: np.ndarray,
+    sample_rate: int,
+    channels: int,
+) -> None:
+    """flac.rs:1079-1088"""
+    export_to_flac_with_level(path, samples, sample_rate, channels, 5)

@@ -1,0 +1,64 @@
+"""Audio file loading/export dispatch (mirrors reference src/audio.rs).
+
+* `load_audio_file_lossless` — WAV or FLAC by lowercased extension
+  (audio.rs:18-35)
+* `export_to_wav` — 16-bit integer PCM (audio.rs:98-133)
+* `export_to_flac` — delegates to the pure FLAC encoder at level 5
+  (audio.rs:85-96)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Tuple, Union
+
+import numpy as np
+
+from .wav import read_wav, write_wav
+
+
+class AudioFormatError(ValueError):
+    pass
+
+
+def convert_f32_to_i16(samples: np.ndarray) -> np.ndarray:
+    """×32767, clamp, truncate toward zero (Rust `as i16`; audio.rs:9-16)."""
+    return np.trunc(
+        np.clip(np.asarray(samples, np.float32) * np.float32(32767.0),
+                -32768.0, 32767.0)
+    ).astype(np.int16)
+
+
+def load_audio_file_lossless(
+    path: Union[str, Path]
+) -> Tuple[np.ndarray, int, int]:
+    """Returns (interleaved float32 samples, sample_rate, channels)."""
+    path = Path(path)
+    ext = path.suffix[1:].lower() if path.suffix else ""
+    if not ext:
+        raise AudioFormatError("No file extension")
+    if ext == "wav":
+        return read_wav(path)
+    if ext == "flac":
+        from ..flac.decoder import read_flac
+        return read_flac(path)
+    raise AudioFormatError(f"Unsupported file format: {ext}")
+
+
+def export_to_wav(
+    path: Union[str, Path],
+    samples: np.ndarray,
+    sample_rate: int,
+    channels: int,
+) -> None:
+    write_wav(path, samples, sample_rate, channels)
+
+
+def export_to_flac(
+    path: Union[str, Path],
+    samples: np.ndarray,
+    sample_rate: int,
+    channels: int,
+) -> None:
+    from ..flac.encoder import export_to_flac_with_level
+    export_to_flac_with_level(path, samples, sample_rate, channels, 5)

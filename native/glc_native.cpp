@@ -1,0 +1,684 @@
+// glc_tpu native runtime: FLAC bitstream packer + independent FLAC decoder.
+//
+// Split of responsibilities (SURVEY.md §7): the TPU computes the *math* of
+// the FLAC encoder (fixed-predictor residuals, Rice parameter estimation —
+// reference src/flac.rs:480-552) as batched JAX ops; this C++ module owns the
+// bit-serial work the reference does in Rust: MSB-first bit packing, Rice
+// coding (flac.rs:320-424, 554-684), frame headers and CRCs (flac.rs:19-80,
+// 747-905).  It also provides a from-scratch RFC 9639 FLAC *decoder* (the
+// reference used the external `claxon` crate for decoding, audio.rs:66-83),
+// which doubles as the independent conformance oracle for our encoder tests.
+//
+// Exposed via a C ABI for ctypes.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// CRC tables (FLAC polynomials; reference flac.rs:19-80 builds these per call,
+// we build once at static init — quirk Q10 is a pure inefficiency, not
+// semantics)
+// ---------------------------------------------------------------------------
+
+struct Crc8Table {
+  uint8_t t[256];
+  Crc8Table() {
+    for (int i = 0; i < 256; i++) {
+      uint8_t crc = (uint8_t)i;
+      for (int b = 0; b < 8; b++)
+        crc = (crc & 0x80) ? (uint8_t)((crc << 1) ^ 0x07) : (uint8_t)(crc << 1);
+      t[i] = crc;
+    }
+  }
+};
+struct Crc16Table {
+  uint16_t t[256];
+  Crc16Table() {
+    for (int i = 0; i < 256; i++) {
+      uint16_t crc = (uint16_t)(i << 8);
+      for (int b = 0; b < 8; b++)
+        crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005)
+                             : (uint16_t)(crc << 1);
+      t[i] = crc;
+    }
+  }
+};
+const Crc8Table kCrc8;
+const Crc16Table kCrc16;
+
+uint8_t crc8(const uint8_t* data, size_t n) {
+  uint8_t crc = 0;
+  for (size_t i = 0; i < n; i++) crc = kCrc8.t[crc ^ data[i]];
+  return crc;
+}
+uint16_t crc16(const uint8_t* data, size_t n) {
+  uint16_t crc = 0;
+  for (size_t i = 0; i < n; i++)
+    crc = (uint16_t)((crc << 8) ^ kCrc16.t[((crc >> 8) ^ data[i]) & 0xFF]);
+  return crc;
+}
+
+// ---------------------------------------------------------------------------
+// BitWriter — MSB-first accumulator (reference flac.rs:320-424)
+// ---------------------------------------------------------------------------
+
+class BitWriter {
+ public:
+  std::vector<uint8_t> buf;
+  uint64_t acc = 0;  // bits pending, left-aligned in the low `nbits` bits
+  int nbits = 0;
+
+  void write_bits(uint64_t value, int bits) {
+    if (bits == 0) return;
+    if (bits > 32) {  // keep acc within 64 bits (nbits ≤ 7 + 32 chunk)
+      write_bits(value >> 32, bits - 32);
+      write_bits(value & 0xFFFFFFFFULL, 32);
+      return;
+    }
+    value &= (1ULL << bits) - 1;
+    // flush in byte units
+    nbits += bits;
+    acc = (acc << bits) | value;
+    while (nbits >= 8) {
+      nbits -= 8;
+      buf.push_back((uint8_t)(acc >> nbits));
+    }
+    if (nbits > 0) acc &= (1ULL << nbits) - 1; else acc = 0;
+  }
+
+  void write_unary(uint32_t v) {
+    while (v >= 32) { write_bits(0, 32); v -= 32; }
+    write_bits(1, (int)v + 1);  // v zeros then a one
+  }
+
+  void byte_align() {
+    if (nbits > 0) write_bits(0, 8 - nbits);
+  }
+
+  size_t byte_len() const { return buf.size(); }
+};
+
+// UTF-8-style frame number coding (reference flac.rs:426-478)
+void write_utf8_number(BitWriter& w, uint64_t v) {
+  if (v < 0x80) {
+    w.write_bits(v, 8);
+  } else if (v < 0x800) {
+    w.write_bits(0xC0 | ((v >> 6) & 0x1F), 8);
+    w.write_bits(0x80 | (v & 0x3F), 8);
+  } else if (v < 0x10000) {
+    w.write_bits(0xE0 | ((v >> 12) & 0x0F), 8);
+    w.write_bits(0x80 | ((v >> 6) & 0x3F), 8);
+    w.write_bits(0x80 | (v & 0x3F), 8);
+  } else if (v < 0x200000) {
+    w.write_bits(0xF0 | ((v >> 18) & 0x07), 8);
+    w.write_bits(0x80 | ((v >> 12) & 0x3F), 8);
+    w.write_bits(0x80 | ((v >> 6) & 0x3F), 8);
+    w.write_bits(0x80 | (v & 0x3F), 8);
+  } else if (v < 0x4000000) {
+    w.write_bits(0xF8 | ((v >> 24) & 0x03), 8);
+    w.write_bits(0x80 | ((v >> 18) & 0x3F), 8);
+    w.write_bits(0x80 | ((v >> 12) & 0x3F), 8);
+    w.write_bits(0x80 | ((v >> 6) & 0x3F), 8);
+    w.write_bits(0x80 | (v & 0x3F), 8);
+  } else if (v < 0x80000000ULL) {
+    w.write_bits(0xFC | ((v >> 30) & 0x01), 8);
+    w.write_bits(0x80 | ((v >> 24) & 0x3F), 8);
+    w.write_bits(0x80 | ((v >> 18) & 0x3F), 8);
+    w.write_bits(0x80 | ((v >> 12) & 0x3F), 8);
+    w.write_bits(0x80 | ((v >> 6) & 0x3F), 8);
+    w.write_bits(0x80 | (v & 0x3F), 8);
+  } else {
+    w.write_bits(0xFE, 8);
+    w.write_bits(0x80 | ((v >> 30) & 0x3F), 8);
+    w.write_bits(0x80 | ((v >> 24) & 0x3F), 8);
+    w.write_bits(0x80 | ((v >> 18) & 0x3F), 8);
+    w.write_bits(0x80 | ((v >> 12) & 0x3F), 8);
+    w.write_bits(0x80 | ((v >> 6) & 0x3F), 8);
+    w.write_bits(0x80 | (v & 0x3F), 8);
+  }
+}
+
+int block_size_bits(int bs) {  // reference flac.rs:772-799
+  switch (bs) {
+    case 192: return 0b0001;
+    case 576: return 0b0010;
+    case 1152: return 0b0011;
+    case 2304: return 0b0100;
+    case 4608: return 0b0101;
+    case 256: return 0b1000;
+    case 512: return 0b1001;
+    case 1024: return 0b1010;
+    case 2048: return 0b1011;
+    case 4096: return 0b1100;
+    case 8192: return 0b1101;
+    case 16384: return 0b1110;
+    case 32768: return 0b1111;
+    default: return bs < 256 ? 0b0110 : 0b0111;
+  }
+}
+
+int sample_rate_bits(uint32_t sr) {  // reference flac.rs:803-818
+  switch (sr) {
+    case 88200: return 0b0001;
+    case 176400: return 0b0010;
+    case 192000: return 0b0011;
+    case 8000: return 0b0100;
+    case 16000: return 0b0101;
+    case 22050: return 0b0110;
+    case 24000: return 0b0111;
+    case 32000: return 0b1000;
+    case 44100: return 0b1001;
+    case 48000: return 0b1010;
+    case 96000: return 0b1011;
+    default: return 0b0000;
+  }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Encoder-side helpers shared with Python (pure functions of level/blocksize;
+// reference flac.rs:587-607, 690-700)
+// ---------------------------------------------------------------------------
+
+extern "C" int32_t glc_flac_predictor_order(int32_t block_size, int32_t level) {
+  int order;
+  if (level == 0) order = 0;
+  else if (level == 1) order = block_size >= 1 ? 1 : 0;
+  else if (level == 2) order = block_size >= 2 ? 2 : 0;
+  else if (level <= 4) order = block_size >= 3 ? 3 : 0;
+  else order = block_size >= 4 ? 4 : 0;
+  return order;
+}
+
+extern "C" int32_t glc_flac_partition_order(int32_t block_size,
+                                            int32_t predictor_order,
+                                            int32_t level) {
+  int tz = 0;
+  int bs = block_size;
+  while (bs > 0 && (bs & 1) == 0) { tz++; bs >>= 1; }
+  if (block_size == 0) tz = 0;
+  int cap = tz < 8 ? tz : 8;
+  int po;
+  if (level == 0) po = 0;
+  else if (level <= 2) po = cap < 2 ? cap : 2;
+  else if (level <= 5) po = cap < 4 ? cap : 4;
+  else po = cap < 6 ? cap : 6;
+  while (po > 0) {
+    int ps = block_size >> po;
+    if (ps > predictor_order && ps >= 4) break;
+    po--;
+  }
+  return po;
+}
+
+// ---------------------------------------------------------------------------
+// Full-stream packer.
+//
+// Layout contract with the Python caller (per frame f with block size bs[f]):
+//   residuals:   frame-major then channel-major, bs[f] int32 per channel
+//                (entries [0, order) are ignored warm-up slots)
+//   rice_params: frame-major then channel-major, (1 << partition_order[f])
+//                int8 per channel
+// Orders must equal glc_flac_predictor_order / glc_flac_partition_order.
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t glc_flac_pack(
+    const int16_t* samples, int64_t n_total, int32_t channels,
+    uint32_t sample_rate, int32_t level, const uint8_t* md5,
+    const int32_t* block_sizes, int32_t num_frames,
+    const int32_t* residuals, const int8_t* rice_params,
+    uint8_t** out, int64_t* out_len) {
+  if (channels < 1 || channels > 8 || level < 0 || level > 8) return -1;
+  const int bps = 16;
+
+  BitWriter w;
+  w.write_bits(0x664C6143ULL, 32);  // "fLaC"
+
+  // STREAMINFO (reference flac.rs:907-944): min/max block size are the
+  // nominal block size, frame sizes unknown (0)
+  int nominal_bs = num_frames > 0 ? block_sizes[0] : 0;
+  w.write_bits(1, 1);                 // last metadata block
+  w.write_bits(0, 7);                 // type streaminfo
+  w.write_bits(34, 24);               // length
+  w.write_bits((uint64_t)nominal_bs, 16);
+  w.write_bits((uint64_t)nominal_bs, 16);
+  w.write_bits(0, 24);
+  w.write_bits(0, 24);
+  w.write_bits(sample_rate, 20);
+  w.write_bits((uint64_t)(channels - 1), 3);
+  w.write_bits((uint64_t)(bps - 1), 5);
+  w.write_bits((uint64_t)(n_total / channels), 36);
+  for (int i = 0; i < 16; i++) w.write_bits(md5[i], 8);
+
+  std::vector<int32_t> chan(0);
+  int64_t sample_off = 0;   // interleaved offset
+  const int32_t* res_ptr = residuals;
+  const int8_t* rp_ptr = rice_params;
+
+  for (int f = 0; f < num_frames; f++) {
+    int bs = block_sizes[f];
+    size_t frame_start = w.byte_len();
+
+    // Frame header (reference flac.rs:759-871)
+    w.write_bits(0x3FFE, 14);  // sync
+    w.write_bits(0, 1);        // reserved
+    w.write_bits(0, 1);        // fixed block size strategy
+    int bsb = block_size_bits(bs);
+    w.write_bits((uint64_t)bsb, 4);
+    w.write_bits((uint64_t)sample_rate_bits(sample_rate), 4);
+    uint32_t chan_bits = channels == 1 ? 0b0000
+                         : channels == 2 ? 0b0001
+                                         : (uint32_t)(channels - 1);
+    w.write_bits(chan_bits, 4);
+    w.write_bits(0b100, 3);  // 16-bit sample size
+    w.write_bits(0, 1);      // reserved
+    write_utf8_number(w, (uint64_t)f);
+    if (bsb == 0b0110) w.write_bits((uint64_t)(bs - 1), 8);
+    else if (bsb == 0b0111) w.write_bits((uint64_t)(bs - 1), 16);
+
+    // header CRC-8 (header is byte-aligned here)
+    w.write_bits(crc8(w.buf.data() + frame_start, w.byte_len() - frame_start),
+                 8);
+
+    int order = glc_flac_predictor_order(bs, level);
+    int po = glc_flac_partition_order(bs, order, level);
+    int num_partitions = 1 << po;
+
+    for (int c = 0; c < channels; c++) {
+      // Subframe header (reference flac.rs:702-720)
+      w.write_bits(0, 1);
+      if (order == 0) w.write_bits(0b000001, 6);  // verbatim
+      else w.write_bits(0b001000 | (uint32_t)order, 6);
+      w.write_bits(0, 1);  // no wasted bits
+
+      if (order == 0) {
+        for (int i = 0; i < bs; i++)
+          w.write_bits((uint64_t)(uint16_t)samples[sample_off + (int64_t)i * channels + c],
+                       bps);
+      } else {
+        for (int i = 0; i < order; i++)
+          w.write_bits((uint64_t)(uint16_t)samples[sample_off + (int64_t)i * channels + c],
+                       bps);
+        // Partitioned Rice residual (reference flac.rs:586-684).
+        const int32_t* res = res_ptr + (int64_t)c * bs + order;
+        const int8_t* rp = rp_ptr + (int64_t)c * num_partitions;
+        w.write_bits(0, 2);                  // method: 4-bit Rice
+        w.write_bits((uint64_t)po, 4);
+        int dps = bs >> po;
+        int64_t idx = 0;
+        for (int p = 0; p < num_partitions; p++) {
+          int ps = p == 0 ? dps - order : dps;
+          if (ps == 0) continue;
+          int k = rp[p];
+          w.write_bits((uint64_t)k, 4);
+          uint32_t mask = k > 0 ? ((1u << k) - 1) : 0;
+          for (int i = 0; i < ps; i++) {
+            int32_t s = res[idx++];
+            uint32_t folded = s >= 0 ? ((uint32_t)s << 1)
+                                     : ((((uint32_t)(-(s + 1))) << 1) | 1);
+            w.write_unary(folded >> k);
+            if (k > 0) w.write_bits(folded & mask, k);
+          }
+        }
+      }
+    }
+
+    w.byte_align();
+    uint16_t c16 = crc16(w.buf.data() + frame_start, w.byte_len() - frame_start);
+    w.write_bits(c16, 16);
+
+    sample_off += (int64_t)bs * channels;
+    res_ptr += (int64_t)bs * channels;
+    rp_ptr += (int64_t)num_partitions * channels;
+  }
+
+  uint8_t* p = (uint8_t*)std::malloc(w.buf.size());
+  if (!p) return -2;
+  std::memcpy(p, w.buf.data(), w.buf.size());
+  *out = p;
+  *out_len = (int64_t)w.buf.size();
+  return 0;
+}
+
+extern "C" void glc_free(uint8_t* p) { std::free(p); }
+
+// ---------------------------------------------------------------------------
+// FLAC decoder (RFC 9639 subset sufficient for real-world files: constant /
+// verbatim / fixed / LPC subframes, both Rice methods + escapes, wasted bits,
+// all stereo decorrelation modes, 4-32 bit depths).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+class BitReader {
+ public:
+  const uint8_t* data;
+  int64_t len;     // bytes
+  int64_t pos = 0; // byte position
+  int bit = 0;     // bits consumed of current byte (0..7)
+  bool error = false;
+
+  BitReader(const uint8_t* d, int64_t n) : data(d), len(n) {}
+
+  bool eof() const { return pos >= len; }
+
+  uint64_t read_bits(int n) {
+    uint64_t v = 0;
+    while (n > 0) {
+      if (pos >= len) { error = true; return 0; }
+      int avail = 8 - bit;
+      int take = n < avail ? n : avail;
+      uint8_t cur = data[pos];
+      int shift = avail - take;
+      v = (v << take) | (uint64_t)((cur >> shift) & ((1u << take) - 1));
+      bit += take;
+      if (bit == 8) { bit = 0; pos++; }
+      n -= take;
+    }
+    return v;
+  }
+
+  int64_t read_signed(int n) {
+    uint64_t v = read_bits(n);
+    if (n < 64 && (v & (1ULL << (n - 1)))) v |= ~((1ULL << n) - 1);
+    return (int64_t)v;
+  }
+
+  uint32_t read_unary() {
+    uint32_t n = 0;
+    for (;;) {
+      if (pos >= len) { error = true; return 0; }
+      uint8_t cur = (uint8_t)(data[pos] << bit);
+      if (cur == 0) {
+        n += 8 - bit;
+        bit = 0;
+        pos++;
+        continue;
+      }
+      // count leading zeros of remaining bits in this byte
+      int lz = 0;
+      while (!(cur & 0x80)) { cur <<= 1; lz++; }
+      n += lz;
+      bit += lz + 1;
+      if (bit >= 8) { bit -= 8; pos++; }
+      return n;
+    }
+  }
+
+  void align() {
+    if (bit) { bit = 0; pos++; }
+  }
+};
+
+int64_t read_utf8(BitReader& br) {
+  uint32_t b0 = (uint32_t)br.read_bits(8);
+  if (br.error) return -1;
+  int extra;
+  uint64_t v;
+  if ((b0 & 0x80) == 0) { return (int64_t)b0; }
+  else if ((b0 & 0xE0) == 0xC0) { extra = 1; v = b0 & 0x1F; }
+  else if ((b0 & 0xF0) == 0xE0) { extra = 2; v = b0 & 0x0F; }
+  else if ((b0 & 0xF8) == 0xF0) { extra = 3; v = b0 & 0x07; }
+  else if ((b0 & 0xFC) == 0xF8) { extra = 4; v = b0 & 0x03; }
+  else if ((b0 & 0xFE) == 0xFC) { extra = 5; v = b0 & 0x01; }
+  else if (b0 == 0xFE) { extra = 6; v = 0; }
+  else return -1;
+  for (int i = 0; i < extra; i++) {
+    uint32_t b = (uint32_t)br.read_bits(8);
+    if ((b & 0xC0) != 0x80) return -1;
+    v = (v << 6) | (b & 0x3F);
+  }
+  return (int64_t)v;
+}
+
+// residual decode into out[order..bs)
+bool decode_residual(BitReader& br, int bs, int order, int64_t* out) {
+  uint32_t method = (uint32_t)br.read_bits(2);
+  if (method > 1) return false;
+  int plen = method == 0 ? 4 : 5;
+  uint32_t escape = method == 0 ? 0xF : 0x1F;
+  uint32_t po = (uint32_t)br.read_bits(4);
+  int parts = 1 << po;
+  if ((bs >> po) << po != bs) return false;
+  int idx = order;
+  for (int p = 0; p < parts; p++) {
+    int ps = (bs >> po) - (p == 0 ? order : 0);
+    if (ps < 0) return false;
+    uint32_t k = (uint32_t)br.read_bits(plen);
+    if (k == escape) {
+      uint32_t raw = (uint32_t)br.read_bits(5);
+      for (int i = 0; i < ps; i++)
+        out[idx++] = raw ? br.read_signed((int)raw) : 0;
+    } else {
+      for (int i = 0; i < ps; i++) {
+        uint32_t msb = br.read_unary();
+        uint64_t lsb = k ? br.read_bits((int)k) : 0;
+        uint64_t folded = ((uint64_t)msb << k) | lsb;
+        out[idx++] = (int64_t)(folded >> 1) ^ -(int64_t)(folded & 1);
+        if (br.error) return false;
+      }
+    }
+  }
+  return !br.error;
+}
+
+bool decode_subframe(BitReader& br, int bs, int bps, int64_t* out) {
+  if (br.read_bits(1) != 0) return false;  // padding bit
+  uint32_t type = (uint32_t)br.read_bits(6);
+  uint32_t wasted = 0;
+  if (br.read_bits(1)) wasted = br.read_unary() + 1;
+  int ebps = bps - (int)wasted;
+  if (ebps <= 0 || br.error) return false;
+
+  if (type == 0) {  // constant
+    int64_t v = br.read_signed(ebps);
+    for (int i = 0; i < bs; i++) out[i] = v;
+  } else if (type == 1) {  // verbatim
+    for (int i = 0; i < bs; i++) out[i] = br.read_signed(ebps);
+  } else if ((type & 0x38) == 0x08 && (type & 0x07) <= 4) {  // fixed
+    int order = (int)(type & 0x07);
+    if (order > bs) return false;
+    for (int i = 0; i < order; i++) out[i] = br.read_signed(ebps);
+    if (!decode_residual(br, bs, order, out)) return false;
+    for (int i = order; i < bs; i++) {
+      int64_t pred;
+      switch (order) {
+        case 0: pred = 0; break;
+        case 1: pred = out[i - 1]; break;
+        case 2: pred = 2 * out[i - 1] - out[i - 2]; break;
+        case 3: pred = 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3]; break;
+        default:
+          pred = 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] - out[i - 4];
+      }
+      out[i] += pred;
+    }
+  } else if (type & 0x20) {  // LPC
+    int order = (int)(type & 0x1F) + 1;
+    if (order > bs) return false;
+    for (int i = 0; i < order; i++) out[i] = br.read_signed(ebps);
+    uint32_t prec = (uint32_t)br.read_bits(4) + 1;
+    if (prec == 16) return false;  // 1111 invalid
+    int shift = (int)br.read_signed(5);
+    if (shift < 0) return false;
+    int64_t coef[32];
+    for (int i = 0; i < order; i++) coef[i] = br.read_signed((int)prec);
+    if (!decode_residual(br, bs, order, out)) return false;
+    for (int i = order; i < bs; i++) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; j++) acc += coef[j] * out[i - 1 - j];
+      out[i] += acc >> shift;
+    }
+  } else {
+    return false;
+  }
+
+  if (wasted)
+    for (int i = 0; i < bs; i++) out[i] <<= wasted;
+  return !br.error;
+}
+
+}  // namespace
+
+// Decode a whole FLAC stream.  Returns 0 on success; fills malloc'd
+// interleaved int32 samples (caller frees with glc_free on the cast pointer).
+extern "C" int32_t glc_flac_decode(const uint8_t* data, int64_t len,
+                                   int32_t** out_samples, int64_t* out_count,
+                                   uint32_t* out_rate, uint32_t* out_channels,
+                                   uint32_t* out_bps) {
+  if (len < 8 || std::memcmp(data, "fLaC", 4) != 0) return -1;
+  int64_t pos = 4;
+  uint32_t si_rate = 0, si_channels = 0, si_bps = 0;
+  uint64_t si_total = 0;
+  bool have_si = false;
+
+  // metadata blocks
+  for (;;) {
+    if (pos + 4 > len) return -2;
+    uint8_t hdr = data[pos];
+    uint32_t btype = hdr & 0x7F;
+    uint32_t blen = ((uint32_t)data[pos + 1] << 16) |
+                    ((uint32_t)data[pos + 2] << 8) | data[pos + 3];
+    pos += 4;
+    if (pos + blen > len) return -2;
+    if (btype == 0 && blen >= 34) {
+      BitReader br(data + pos, blen);
+      br.read_bits(16); br.read_bits(16);        // min/max block size
+      br.read_bits(24); br.read_bits(24);        // min/max frame size
+      si_rate = (uint32_t)br.read_bits(20);
+      si_channels = (uint32_t)br.read_bits(3) + 1;
+      si_bps = (uint32_t)br.read_bits(5) + 1;
+      si_total = br.read_bits(36);
+      have_si = true;
+    }
+    pos += blen;
+    if (hdr & 0x80) break;  // last block
+  }
+  if (!have_si || si_rate == 0) return -3;
+
+  std::vector<int32_t> out;
+  if (si_total > 0 && si_total < (1ULL << 40))
+    out.reserve((size_t)(si_total * si_channels));
+
+  std::vector<int64_t> ch_buf;
+
+  BitReader br(data + pos, len - pos);
+  while (!br.eof()) {
+    // frames are byte-aligned; stop cleanly at EOF
+    if (br.bit != 0) br.align();
+    if (br.pos >= br.len) break;
+    size_t frame_start = (size_t)br.pos;
+    uint32_t sync = (uint32_t)br.read_bits(14);
+    if (br.error) break;
+    if (sync != 0x3FFE) return -4;
+    br.read_bits(1);                       // reserved
+    br.read_bits(1);                       // blocking strategy
+    uint32_t bsc = (uint32_t)br.read_bits(4);
+    uint32_t src = (uint32_t)br.read_bits(4);
+    uint32_t ca = (uint32_t)br.read_bits(4);
+    uint32_t ssc = (uint32_t)br.read_bits(3);
+    br.read_bits(1);                       // reserved
+    if (read_utf8(br) < 0) return -5;
+
+    int bs;
+    switch (bsc) {
+      case 0: return -6;
+      case 1: bs = 192; break;
+      case 2: case 3: case 4: case 5: bs = 576 << (bsc - 2); break;
+      case 6: bs = (int)br.read_bits(8) + 1; break;
+      case 7: bs = (int)br.read_bits(16) + 1; break;
+      default: bs = 256 << (bsc - 8); break;
+    }
+    uint32_t rate = si_rate;
+    if (src == 12) rate = (uint32_t)br.read_bits(8) * 1000;
+    else if (src == 13) rate = (uint32_t)br.read_bits(16);
+    else if (src == 14) rate = (uint32_t)br.read_bits(16) * 10;
+    else if (src == 15) return -7;
+    (void)rate;
+
+    int bps;
+    switch (ssc) {
+      case 0: bps = (int)si_bps; break;
+      case 1: bps = 8; break;
+      case 2: bps = 12; break;
+      case 4: bps = 16; break;
+      case 5: bps = 20; break;
+      case 6: bps = 24; break;
+      case 7: bps = 32; break;
+      default: return -8;
+    }
+
+    int channels;
+    enum { INDEP, LS, RS, MS } mode = INDEP;
+    if (ca < 8) { channels = (int)ca + 1; }
+    else if (ca == 8) { channels = 2; mode = LS; }
+    else if (ca == 9) { channels = 2; mode = RS; }
+    else if (ca == 10) { channels = 2; mode = MS; }
+    else return -9;
+    if ((uint32_t)channels != si_channels) return -10;
+
+    // header CRC-8 check
+    {
+      size_t hdr_len = (size_t)br.pos - frame_start;
+      uint8_t expect = crc8(br.data + frame_start, hdr_len);
+      uint8_t got = (uint8_t)br.read_bits(8);
+      if (expect != got) return -11;
+    }
+
+    ch_buf.resize((size_t)channels * bs);
+    for (int c = 0; c < channels; c++) {
+      int sub_bps = bps;
+      if ((mode == LS && c == 1) || (mode == RS && c == 0) ||
+          (mode == MS && c == 1))
+        sub_bps += 1;
+      if (!decode_subframe(br, bs, sub_bps, ch_buf.data() + (size_t)c * bs))
+        return -12;
+    }
+    br.align();
+    // frame CRC-16 (covers everything from sync through subframes+padding)
+    {
+      size_t body_len = (size_t)br.pos - frame_start;
+      uint16_t expect = crc16(br.data + frame_start, body_len);
+      uint16_t got = (uint16_t)br.read_bits(16);
+      if (br.error) return -13;
+      if (expect != got) return -14;
+    }
+
+    // stereo decorrelation
+    int64_t* L = ch_buf.data();
+    int64_t* R = ch_buf.data() + bs;
+    if (mode == LS) {
+      for (int i = 0; i < bs; i++) R[i] = L[i] - R[i];
+    } else if (mode == RS) {
+      for (int i = 0; i < bs; i++) L[i] = R[i] + L[i];
+    } else if (mode == MS) {
+      for (int i = 0; i < bs; i++) {
+        int64_t mid = (L[i] << 1) | (R[i] & 1);
+        int64_t side = R[i];
+        L[i] = (mid + side) >> 1;
+        R[i] = (mid - side) >> 1;
+      }
+    }
+
+    size_t base = out.size();
+    out.resize(base + (size_t)bs * channels);
+    for (int i = 0; i < bs; i++)
+      for (int c = 0; c < channels; c++)
+        out[base + (size_t)i * channels + c] =
+            (int32_t)ch_buf[(size_t)c * bs + i];
+  }
+
+  int32_t* p = (int32_t*)std::malloc(out.empty() ? 1 : out.size() * sizeof(int32_t));
+  if (!p) return -15;
+  if (!out.empty()) std::memcpy(p, out.data(), out.size() * sizeof(int32_t));
+  *out_samples = p;
+  *out_count = (int64_t)out.size();
+  *out_rate = si_rate;
+  *out_channels = si_channels;
+  *out_bps = si_bps;
+  return 0;
+}

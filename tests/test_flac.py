@@ -1,0 +1,125 @@
+"""FLAC encoder conformance-by-round-trip (mirrors reference tests/test_flac.rs).
+
+The oracle is our independent C++ FLAC decoder (native/glc_native.cpp),
+playing the role claxon plays for the reference (test_flac.rs decodes the
+hand-written encoder's output with the external claxon crate).
+"""
+
+import numpy as np
+import pytest
+
+from glc_tpu.flac import decode_flac, encode_flac, encode_flac_with_level
+from glc_tpu.flac.encoder import FlacError, _compute_frame_data
+from glc_tpu.flac import bitpack
+from glc_tpu.io.audio import convert_f32_to_i16
+from utils import generate_sine_wave, generate_white_noise
+
+
+def roundtrip_rms_error(samples, rate, channels, level=5):
+    data = encode_flac_with_level(samples, rate, channels, level)
+    decoded, r, c, b = decode_flac(data)
+    assert r == rate and c == channels and b == 16
+    dec_f = decoded.astype(np.float64) / 32767.0
+    orig = np.asarray(samples, np.float64)[: len(dec_f)]
+    assert len(dec_f) == len(samples)
+    return float(np.sqrt(np.mean((orig - dec_f) ** 2)))
+
+
+def test_flac_silence():
+    samples = np.zeros(44100, np.float32)
+    assert roundtrip_rms_error(samples, 44100, 1) < 1e-4
+
+
+def test_flac_dc_offset():
+    samples = np.full(44100, 0.25, np.float32)
+    assert roundtrip_rms_error(samples, 44100, 1) < 1e-4
+
+
+def test_flac_sine():
+    samples = generate_sine_wave(440.0, 44100, 1, 2.0)
+    assert roundtrip_rms_error(samples, 44100, 1) < 1e-4
+
+
+def test_flac_noise():
+    samples = generate_white_noise(44100, 1, 1.0, 77)
+    assert roundtrip_rms_error(samples, 44100, 1) < 1e-4
+
+
+def test_flac_stereo():
+    samples = generate_sine_wave(440.0, 44100, 2, 1.0)
+    assert roundtrip_rms_error(samples, 44100, 2) < 1e-4
+
+
+@pytest.mark.parametrize("rate", [48000, 96000])
+def test_flac_sample_rates(rate):
+    samples = generate_sine_wave(440.0, rate, 1, 0.5)
+    assert roundtrip_rms_error(samples, rate, 1) < 1e-4
+
+
+def test_flac_minimum_length():
+    """16 samples per channel is the encoder's minimum (flac.rs:963-969)."""
+    samples = np.linspace(-0.5, 0.5, 16).astype(np.float32)
+    assert roundtrip_rms_error(samples, 44100, 1) < 1e-4
+
+
+def test_flac_too_short_rejected():
+    with pytest.raises(FlacError):
+        encode_flac(np.zeros(15, np.float32), 44100, 1)
+
+
+def test_flac_bad_level_rejected():
+    with pytest.raises(FlacError):
+        encode_flac_with_level(np.zeros(100, np.float32), 44100, 1, 9)
+
+
+@pytest.mark.parametrize("level", list(range(9)))
+def test_flac_all_levels(level):
+    """test_flac.rs:132-160 — every level produces a decodable stream with
+    the right sample count, bit-exact to the i16 conversion."""
+    samples = generate_sine_wave(440.0, 44100, 2, 0.5)
+    data = encode_flac_with_level(samples, 44100, 2, level)
+    decoded, r, c, b = decode_flac(data)
+    assert (r, c, b) == (44100, 2, 16)
+    expected = convert_f32_to_i16(samples).astype(np.int32)
+    np.testing.assert_array_equal(decoded, expected)
+
+
+def test_flac_partial_last_block():
+    """A stream length not divisible by the block size exercises the
+    uncommon-blocksize header path (flac.rs:853-861)."""
+    samples = generate_sine_wave(440.0, 44100, 1, 0.1)  # 4410 samples
+    data = encode_flac_with_level(samples, 44100, 1, 5)  # bs 4096 + 314
+    decoded, _, _, _ = decode_flac(data)
+    np.testing.assert_array_equal(
+        decoded, convert_f32_to_i16(samples).astype(np.int32)
+    )
+
+
+def test_native_and_python_packers_byte_identical():
+    """The pure-Python fallback packer must produce the same bytes as the
+    native C++ packer."""
+    samples = generate_sine_wave(440.0, 44100, 2, 0.25)
+    level = 5
+    native_bytes = encode_flac_with_level(samples, 44100, 2, level)
+
+    import hashlib
+    i16 = convert_f32_to_i16(samples)
+    md5 = hashlib.md5(i16.astype("<i2").tobytes()).digest()
+    block_sizes, residuals, rice_params = _compute_frame_data(i16, 2, level)
+    py_bytes = bitpack.pack_stream(
+        i16, 2, 44100, level, md5, block_sizes, residuals, rice_params
+    )
+    assert py_bytes == native_bytes
+
+
+def test_order_helpers_match_native():
+    """Python and C++ predictor/partition order functions must agree."""
+    from glc_tpu.native import get_native
+    lib = get_native()
+    assert lib is not None
+    for bs in (16, 100, 1000, 1024, 1152, 4096, 314):
+        for level in range(9):
+            po_py = bitpack.predictor_order(bs, level)
+            assert po_py == lib.glc_flac_predictor_order(bs, level)
+            part_py = bitpack.partition_order(bs, po_py, level)
+            assert part_py == lib.glc_flac_partition_order(bs, po_py, level)
