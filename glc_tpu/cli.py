@@ -1,0 +1,257 @@
+"""`glc` command-line interface (mirrors reference src/main.rs).
+
+Flag-compatible with the reference binary:
+
+    glc <file.wav|file.flac> ...                    Encode audio files to .glc
+    glc -d <file.glc> ... [--wav] [--flac-level N]  Decode .glc files
+    glc -p <file.glc> ... [--ffplay]                Play .glc files (gapless)
+    glc                                             Launch GUI (if available)
+
+Same hand-rolled argument handling, printed output shapes, continue-on-error
+semantics, and exit codes (main.rs:354-613).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import List
+
+
+def is_lossless_audio_file(path: Path) -> bool:
+    """main.rs:303-315"""
+    ext = path.suffix[1:].lower() if path.suffix else ""
+    return ext in ("wav", "flac")
+
+
+def is_glc_file(path: Path) -> bool:
+    """main.rs:317-328"""
+    ext = path.suffix[1:].lower() if path.suffix else ""
+    return ext == "glc"
+
+
+def print_usage() -> None:
+    """main.rs:330-352"""
+    e = lambda s="": print(s, file=sys.stderr)
+    e("Usage:")
+    e("  glc <file.wav|file.flac> ...                    Encode audio files to .glc")
+    e("  glc -d <file.glc> ... [--wav] [--flac-level N]  Decode .glc files")
+    e("  glc -p <file.glc> ... [--ffplay]                Play .glc files (gapless)")
+    e("  glc                                              Launch GUI (if ui feature enabled)")
+    e()
+    e("Options:")
+    e("  -d, --decode       Decode .glc files to FLAC (default) or WAV")
+    e("  -p, --play         Play .glc files using audio system (gapless for multiple files)")
+    e("      --ffplay       Use ffplay for playback (sequential for multiple files)")
+    e("      --wav          Output WAV format instead of FLAC")
+    e("      --flac-level   Set FLAC compression level 0-8 (default: 5)")
+    e()
+    e("Examples:")
+    e("  glc audio.wav                         # Encode to audio.glc")
+    e("  glc -d file1.glc file2.glc --wav      # Decode multiple files to WAV")
+    e("  glc -d file.glc --flac-level 8        # Decode with maximum FLAC compression")
+    e("  glc -p track1.glc track2.glc          # Play multiple files gaplessly")
+    e()
+    e("Supported formats: WAV, FLAC (input), GLC (decode/play)")
+
+
+def encode_file(input_path: Path) -> None:
+    """main.rs:20-52"""
+    from .codec.encoder import Encoder
+    from .container.bincode import save_encoded
+    from .io.audio import load_audio_file_lossless
+
+    print(f"Loading: {input_path.name!r}")
+    samples, sample_rate, channels = load_audio_file_lossless(input_path)
+    print(f"Encoding: {sample_rate} Hz, {channels} channels, "
+          f"{len(samples)} samples")
+
+    encoder = Encoder(sample_rate)
+    encoded = encoder.encode(samples, channels)
+
+    output_path = input_path.with_suffix(".glc")
+    save_encoded(encoded, output_path)
+
+    input_size = input_path.stat().st_size
+    output_size = output_path.stat().st_size
+    ratio = output_size / input_size * 100.0
+    print(f"Saved: {output_path.name!r} ({output_size} bytes, "
+          f"{ratio:.1f}% of original)")
+
+
+def decode_file(input_path: Path, output_format: str, flac_level: int) -> None:
+    """main.rs:54-113"""
+    from .codec.decoder import Decoder
+    from .container.bincode import load_encoded
+    from .flac.encoder import export_to_flac_with_level
+    from .io.audio import export_to_wav
+
+    print(f"Loading: {input_path.name!r}")
+    encoded = load_encoded(input_path)
+    print(f"Decoding: {encoded.header.sample_rate} Hz, "
+          f"{encoded.header.channels} channels")
+
+    decoder = Decoder(encoded.header.channels, encoded.header.sample_rate)
+    samples = decoder.decode(encoded)
+    print(f"Decoded {len(samples)} samples")
+
+    if output_format == "flac":
+        output_path = input_path.with_suffix(".flac")
+        export_to_flac_with_level(
+            output_path, samples, encoded.header.sample_rate,
+            encoded.header.channels, flac_level,
+        )
+        print(f"Saved: {output_path.name!r} (FLAC, level {flac_level})")
+    elif output_format == "wav":
+        output_path = input_path.with_suffix(".wav")
+        export_to_wav(output_path, samples, encoded.header.sample_rate,
+                      encoded.header.channels)
+        print(f"Saved: {output_path.name!r} (WAV)")
+    else:
+        raise ValueError(f"Unsupported output format: {output_format}")
+
+
+def _main_decode(args: List[str]) -> int:
+    """main.rs:364-457"""
+    if not args:
+        print("Error: -d requires at least one .glc file", file=sys.stderr)
+        print_usage()
+        return 1
+
+    has_errors = False
+    files_to_decode: List[Path] = []
+    output_format = "flac"
+    flac_level = 5
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--wav":
+            output_format = "wav"
+            i += 1
+        elif a == "--flac-level":
+            if i + 1 >= len(args):
+                print("Error: --flac-level requires a value (0-8)",
+                      file=sys.stderr)
+                return 1
+            try:
+                flac_level = int(args[i + 1])
+                if flac_level < 0:
+                    raise ValueError
+            except ValueError:
+                print("Error: Invalid FLAC level, must be 0-8", file=sys.stderr)
+                return 1
+            if flac_level > 8:
+                print("Error: FLAC level must be 0-8", file=sys.stderr)
+                return 1
+            i += 2
+        else:
+            path = Path(a)
+            if not path.exists():
+                print(f"Error: File not found: {str(path)!r}", file=sys.stderr)
+                has_errors = True
+            elif not is_glc_file(path):
+                print(f"Error: Not a .glc file: {str(path)!r}", file=sys.stderr)
+                has_errors = True
+            else:
+                files_to_decode.append(path)
+            i += 1
+
+    if not files_to_decode:
+        print("Error: No valid .glc files to decode", file=sys.stderr)
+        return 1
+
+    for path in files_to_decode:
+        try:
+            decode_file(path, output_format, flac_level)
+        except Exception as e:
+            print(f"Error decoding file: {e}", file=sys.stderr)
+            has_errors = True
+
+    return 1 if has_errors else 0
+
+
+def _main_play(args: List[str]) -> int:
+    """main.rs:460-543"""
+    from .playback import play_file_with_ffplay, play_files_gapless
+
+    if not args:
+        print("Error: -p requires at least one .glc file", file=sys.stderr)
+        print_usage()
+        return 1
+
+    use_ffplay = False
+    files_to_play: List[Path] = []
+    for a in args:
+        if a == "--ffplay":
+            use_ffplay = True
+        else:
+            path = Path(a)
+            if not path.exists():
+                print(f"Error: File not found: {str(path)!r}", file=sys.stderr)
+                return 1
+            if not is_glc_file(path):
+                print(f"Error: Not a .glc file: {str(path)!r}", file=sys.stderr)
+                return 1
+            files_to_play.append(path)
+
+    if not files_to_play:
+        print("Error: No valid .glc files to play", file=sys.stderr)
+        return 1
+
+    try:
+        if use_ffplay:
+            for path in files_to_play:  # sequential, main.rs:512-527
+                play_file_with_ffplay(path)
+        else:
+            play_files_gapless(files_to_play)
+    except Exception as e:
+        print(f"Error playing files: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def _main_encode(args: List[str]) -> int:
+    """main.rs:545-583"""
+    has_errors = False
+    for a in args:
+        path = Path(a)
+        if not path.exists():
+            print(f"Error: File not found: {str(path)!r}", file=sys.stderr)
+            has_errors = True
+            continue
+        if not is_lossless_audio_file(path):
+            print(f"Error: Unsupported file type: {str(path)!r}",
+                  file=sys.stderr)
+            print("Supported formats: WAV, FLAC", file=sys.stderr)
+            has_errors = True
+            continue
+        try:
+            encode_file(path)
+        except Exception as e:
+            print(f"Error encoding file: {e}", file=sys.stderr)
+            has_errors = True
+    return 1 if has_errors else 0
+
+
+def main(argv: List[str] | None = None) -> int:
+    """main.rs:354-613"""
+    args = list(sys.argv[1:] if argv is None else argv)
+    if args:
+        first = args[0]
+        if first in ("-d", "--decode"):
+            return _main_decode(args[1:])
+        if first in ("-p", "--play"):
+            return _main_play(args[1:])
+        return _main_encode(args)
+
+    # GUI mode (main.rs:586-611)
+    try:
+        from .ui import run_gui
+    except Exception:
+        print_usage()
+        return 1
+    return run_gui()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,177 @@
+"""Playback adapters (mirrors reference src/playback.rs and the ffplay path
+of src/main.rs:200-301).
+
+* `SamplesSource` — an iterator over interleaved f32 samples with the
+  rate/channel metadata a sink needs (the rodio `Source` adapter,
+  playback.rs:3-66).
+* `FfplaySink` / `play_stream_with_ffplay` — pipe f32le chunks to an ffplay
+  child process (main.rs:218-274), the only playback path that does not need
+  an audio device library.
+* `play_files_gapless` — the rodio-style gapless path; without a native audio
+  backend in this environment it degrades to the ffplay pipe when available,
+  matching the reference's feature-gated fallback messaging (main.rs:181-198).
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+from typing import Iterable, Iterator, List, Optional
+
+import numpy as np
+
+
+class SamplesSource:
+    """reference src/playback.rs:3-66 — iterator over f32 samples."""
+
+    def __init__(self, samples: np.ndarray, sample_rate: int, channels: int):
+        self.samples = np.asarray(samples, np.float32)
+        self.sample_rate = int(sample_rate)
+        self.channels = int(channels)
+        self.position = 0
+
+    def __iter__(self) -> Iterator[float]:
+        return self
+
+    def __next__(self) -> float:
+        if self.position >= len(self.samples):
+            raise StopIteration
+        v = float(self.samples[self.position])
+        self.position += 1
+        return v
+
+    # rodio::Source-equivalent metadata (playback.rs:44-66)
+    def current_frame_len(self) -> Optional[int]:
+        return None
+
+    def total_duration(self) -> Optional[float]:
+        return None
+
+
+def ffplay_available() -> bool:
+    return shutil.which("ffplay") is not None
+
+
+class FfplaySink:
+    """A child ffplay process fed f32le over stdin (main.rs:218-274)."""
+
+    def __init__(self, sample_rate: int, channels: int):
+        self.proc = subprocess.Popen(
+            [
+                "ffplay",
+                "-f", "f32le",
+                "-ar", str(sample_rate),
+                "-ac", str(channels),
+                "-nodisp",
+                "-autoexit",
+                "-",
+            ],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+
+    def write(self, samples: np.ndarray) -> bool:
+        try:
+            self.proc.stdin.write(
+                np.asarray(samples, np.float32).astype("<f4").tobytes()
+            )
+            return True
+        except (BrokenPipeError, OSError) as e:
+            print(f"Error writing to ffplay: {e}", file=sys.stderr)
+            return False
+
+    def close(self) -> int:
+        try:
+            self.proc.stdin.close()
+        except OSError:
+            pass
+        out, err = self.proc.communicate()
+        if self.proc.returncode != 0:
+            print(f"ffplay exited with status: {self.proc.returncode}",
+                  file=sys.stderr)
+            if err:
+                print("ffplay stderr:", file=sys.stderr)
+                print(err.decode(errors="replace"), file=sys.stderr)
+        return self.proc.returncode
+
+
+def play_file_with_ffplay(input_path: Path) -> None:
+    """main.rs:200-301 — stream one .glc file to ffplay."""
+    from .codec.decoder import Decoder
+    from .container.bincode import load_encoded
+
+    print(f"Loading: {input_path.name!r}")
+    encoded = load_encoded(input_path)
+    sample_rate = encoded.header.sample_rate
+    channels = encoded.header.channels
+
+    print(f"Playing: {sample_rate} Hz, {channels} channels (via ffplay)")
+    print("Press Ctrl+C or close ffplay window to stop")
+
+    try:
+        sink = FfplaySink(sample_rate, channels)
+    except FileNotFoundError as e:
+        print(f"Error: Failed to spawn ffplay: {e}", file=sys.stderr)
+        print("Make sure ffplay is installed and in your PATH", file=sys.stderr)
+        raise
+
+    decoder = Decoder(channels, sample_rate)
+    rx = decoder.decode_streaming(encoded)
+    chunks_sent = 0
+    while True:
+        chunk = rx.get()
+        chunks_sent += 1
+        if not sink.write(chunk.samples):
+            break
+        if chunk.is_last:
+            break
+    print(f"Sent {chunks_sent} chunks to ffplay")
+    if sink.close() == 0:
+        print("Playback finished")
+
+
+def play_files_gapless(file_paths: List[Path]) -> None:
+    """main.rs:115-171 — gapless playback of a .glc playlist.
+
+    The reference uses rodio (a native audio-device library).  This
+    environment has no audio device backend, so we feed one continuous
+    ffplay pipe — chunks from consecutive files are appended to the same
+    sink, which is exactly the gapless property (untrimmed streaming chunks
+    appended back-to-back, main.rs:152-161).
+    """
+    from .codec.decoder import Decoder
+    from .container.bincode import load_encoded
+
+    if not file_paths:
+        raise ValueError("No files to play")
+    if not ffplay_available():
+        print("Error: Playback support not available", file=sys.stderr)
+        print("No audio backend found; install ffplay (ffmpeg) or use "
+              "-p --ffplay explicitly", file=sys.stderr)
+        raise RuntimeError("Playback not available")
+
+    first = load_encoded(file_paths[0])
+    sink = FfplaySink(first.header.sample_rate, first.header.channels)
+    try:
+        for path in file_paths:
+            print(f"Loading: {path.name!r}")
+            encoded = load_encoded(path)
+            print(f"Queueing: {encoded.header.sample_rate} Hz, "
+                  f"{encoded.header.channels} channels")
+            decoder = Decoder(encoded.header.channels,
+                              encoded.header.sample_rate)
+            rx = decoder.decode_streaming(encoded)
+            while True:
+                chunk = rx.get()
+                if not sink.write(chunk.samples):
+                    return
+                if chunk.is_last:
+                    break
+        print(f"Playing {len(file_paths)} files gaplessly. "
+              "Press Ctrl+C to stop.")
+    finally:
+        sink.close()
+    print("Playback finished")

@@ -1,0 +1,112 @@
+"""CLI behavior tests (mirrors reference src/main.rs flag/exit-code
+semantics).  Drives `glc_tpu.cli.main` in-process to avoid per-test JAX
+startup cost."""
+
+import numpy as np
+import pytest
+
+from glc_tpu.cli import main
+from glc_tpu.io.wav import read_wav, write_wav
+from utils import generate_sine_wave
+
+
+@pytest.fixture
+def wav_file(tmp_path):
+    samples = generate_sine_wave(440.0, 44100, 1, 1.0)
+    p = tmp_path / "tone.wav"
+    write_wav(p, samples, 44100, 1)
+    return p
+
+
+def test_encode_creates_glc(wav_file, capsys):
+    assert main([str(wav_file)]) == 0
+    glc = wav_file.with_suffix(".glc")
+    assert glc.exists()
+    out = capsys.readouterr().out
+    assert "Loading:" in out and "Encoding:" in out and "Saved:" in out
+    assert "% of original" in out
+
+
+def test_decode_default_flac(wav_file, capsys):
+    main([str(wav_file)])
+    glc = wav_file.with_suffix(".glc")
+    assert main(["-d", str(glc)]) == 0
+    flac = wav_file.with_suffix(".flac")
+    assert flac.exists()
+    assert flac.read_bytes()[:4] == b"fLaC"
+    assert "(FLAC, level 5)" in capsys.readouterr().out
+
+
+def test_decode_wav_flag(wav_file):
+    main([str(wav_file)])
+    glc = wav_file.with_suffix(".glc")
+    # decode to WAV; output overwrites the original .wav path (same stem,
+    # same as the reference's set_extension behavior)
+    assert main(["-d", str(glc), "--wav"]) == 0
+    out_wav = wav_file.with_suffix(".wav")
+    samples, rate, channels = read_wav(out_wav)
+    assert (rate, channels) == (44100, 1)
+    assert len(samples) == 44100
+
+
+def test_decode_flac_level_flag(wav_file):
+    main([str(wav_file)])
+    glc = wav_file.with_suffix(".glc")
+    assert main(["-d", str(glc), "--flac-level", "8"]) == 0
+    assert wav_file.with_suffix(".flac").exists()
+
+
+def test_decode_invalid_level(wav_file):
+    main([str(wav_file)])
+    glc = wav_file.with_suffix(".glc")
+    assert main(["-d", str(glc), "--flac-level", "9"]) == 1
+    assert main(["-d", str(glc), "--flac-level", "x"]) == 1
+    assert main(["-d", str(glc), "--flac-level"]) == 1
+
+
+def test_decode_missing_file(tmp_path):
+    assert main(["-d", str(tmp_path / "missing.glc")]) == 1
+
+
+def test_decode_wrong_extension(wav_file):
+    assert main(["-d", str(wav_file)]) == 1
+
+
+def test_decode_no_args():
+    assert main(["-d"]) == 1
+
+
+def test_encode_missing_file(tmp_path):
+    assert main([str(tmp_path / "missing.wav")]) == 1
+
+
+def test_encode_unsupported_type(tmp_path):
+    p = tmp_path / "x.mp3"
+    p.write_bytes(b"junk")
+    assert main([str(p)]) == 1
+
+
+def test_encode_continue_on_error(wav_file, tmp_path):
+    """main.rs:545-583 — one bad file does not stop the batch, but the exit
+    code is 1."""
+    missing = tmp_path / "missing.wav"
+    assert main([str(missing), str(wav_file)]) == 1
+    assert wav_file.with_suffix(".glc").exists()
+
+
+def test_encode_flac_input(tmp_path):
+    """FLAC input → .glc (the claxon-load path, audio.rs:66-83)."""
+    from glc_tpu.flac.encoder import export_to_flac
+    samples = generate_sine_wave(440.0, 44100, 2, 0.5)
+    p = tmp_path / "in.flac"
+    export_to_flac(p, samples, 44100, 2)
+    assert main([str(p)]) == 0
+    assert (tmp_path / "in.glc").exists()
+
+
+def test_play_no_args():
+    assert main(["-p"]) == 1
+
+
+def test_play_missing_file(tmp_path):
+    assert main(["-p", str(tmp_path / "x.glc")]) == 1
