@@ -14,6 +14,23 @@ batched XLA/Pallas kernels over a frame-major layout; bit-exact container and
 bitstream writers run on host (numpy vectorized + native C++).
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: CLI invocations are separate processes,
+# and TPU (re)compilation — especially via a remote-compile service — costs
+# tens of seconds per shape.  Opt out with GLC_JAX_CACHE=off.
+_cache_dir = _os.environ.get("GLC_JAX_CACHE", "~/.cache/glc_tpu/jax_cache")
+if _cache_dir != "off":
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir", _os.path.expanduser(_cache_dir)
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from .config import CodecConfig, DEFAULT_CONFIG
 from .container.schema import (
     AudioHeader,

@@ -59,15 +59,23 @@ def encode_file(input_path: Path) -> None:
     """main.rs:20-52"""
     from .codec.encoder import Encoder
     from .container.bincode import save_encoded
-    from .io.audio import load_audio_file_lossless
+    from .io.audio import load_audio_file_lossless, load_audio_pcm16
 
     print(f"Loading: {input_path.name!r}")
-    samples, sample_rate, channels = load_audio_file_lossless(input_path)
+    # exact i16 fast path for 16-bit sources (half-size device upload)
+    pcm16 = load_audio_pcm16(input_path)
+    if pcm16 is not None:
+        samples, sample_rate, channels = pcm16
+    else:
+        samples, sample_rate, channels = load_audio_file_lossless(input_path)
     print(f"Encoding: {sample_rate} Hz, {channels} channels, "
           f"{len(samples)} samples")
 
     encoder = Encoder(sample_rate)
-    encoded = encoder.encode(samples, channels)
+    if pcm16 is not None:
+        encoded = encoder.encode_pcm16(samples, channels)
+    else:
+        encoded = encoder.encode(samples, channels)
 
     output_path = input_path.with_suffix(".glc")
     save_encoded(encoded, output_path)

@@ -25,50 +25,71 @@ import numpy as np
 
 from ..config import CodecConfig, DEFAULT_CONFIG
 from ..container.schema import AudioChunk, EncodedAudio, FrameSet, Progress
-from ..ops.decode import decode_chunk_device
+from ..ops.decode import decode_chunk_sparse_device
 from .tables import chunk_size_for, get_device_tables
 
 ProgressSender = Callable[[Progress], None]
 
 
-def _dense_slices(fs: FrameSet, start: int, count: int, n: int,
-                  reference_compat: bool = True):
-    """Scatter sparse pairs of frames [start, start+count) into dense arrays.
+def _pow2_bucket(count: int, cap: int) -> int:
+    b = 16
+    while b < count and b < cap:
+        b *= 2
+    return min(b, cap)
 
-    Returns (q int16 [count,C,n], scales f32 [count,C], raw int16
-    [count,C,frame_size], is_raw bool [count]).  The raw-PCM byte layout is
-    read back *interleaved* (sample_idx = i*channels + ch,
-    reference src/codec.rs:636) even though the encoder stored it
-    channel-major — quirk Q13, reproduced for parity.
+
+def _sparse_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
+                   reference_compat: bool = True):
+    """Sparse upload payload for frames [start, start+count) of a K-frame
+    chunk (count ≤ K; the rest is padding).
+
+    Returns (pos int32 [budget], vals int16 [budget], scales f32 [K,C],
+    raw_rows int16 [rbudget,C,frame_size], raw_idx int32 [rbudget],
+    is_raw bool [K]).  Fill entries of pos/raw_idx point out of range and
+    are dropped by the device scatter.  The raw-PCM byte layout is read
+    back *interleaved* (sample_idx = i*channels + ch, reference
+    src/codec.rs:636) even though the encoder stored it channel-major —
+    quirk Q13, reproduced for parity.
     """
     C = fs.channels
     frame_size = fs.frame_size
     nnz = fs.nnz[start : start + count]              # [count, C]
-    is_raw = fs.raw_mask[start : start + count]
+    is_raw_v = fs.raw_mask[start : start + count]
 
-    q = np.zeros((count, C, n), np.int16)
     pair_start = int(fs.nnz[:start].sum())
-    K = int(nnz.sum())
-    if K:
-        pairs = fs.pairs[pair_start : pair_start + K]
+    P = int(nnz.sum())
+    budget = _pow2_bucket(P, max(P, 16))
+    pos = np.full(budget, K * C * n, np.int32)
+    vals = np.zeros(budget, np.int16)
+    if P:
+        pairs = fs.pairs[pair_start : pair_start + P]
         flat_fc = np.repeat(np.arange(count * C), nnz.reshape(-1))
         kidx = pairs["k"].astype(np.int64)
         ok = kidx < n  # reference skips out-of-range indices (codec.rs:661)
-        qv = q.reshape(count * C, n)
-        qv[flat_fc[ok], kidx[ok]] = pairs["q"][ok]
+        pos[:P] = np.where(ok, flat_fc * n + kidx, K * C * n).astype(np.int32)
+        vals[:P] = pairs["q"]
 
-    raw = np.zeros((count, C, frame_size), np.int16)
-    if is_raw.any():
+    scales = np.zeros((K, C), np.float32)
+    scales[:count] = fs.scales[start : start + count]
+    is_raw = np.zeros(K, bool)
+    is_raw[:count] = is_raw_v
+
+    R = int(is_raw_v.sum())
+    rbudget = _pow2_bucket(R, max(R, 1))
+    raw_rows = np.zeros((rbudget, C, frame_size), np.int16)
+    raw_idx = np.full(rbudget, K, np.int32)
+    if R:
         raw_before = int(np.count_nonzero(fs.raw_mask[:start]))
-        rows = fs.raw_pcm[raw_before : raw_before + int(is_raw.sum())]
+        rows = fs.raw_pcm[raw_before : raw_before + R]
         if reference_compat:
             # interleaved read-back of channel-major data (Q13)
-            raw[is_raw] = rows.reshape(-1, frame_size, C).transpose(0, 2, 1)
+            raw_rows[:R] = rows.reshape(-1, frame_size, C).transpose(0, 2, 1)
         else:
             # clean mode: read channel-major, as actually stored
-            raw[is_raw] = rows.reshape(-1, C, frame_size)
+            raw_rows[:R] = rows.reshape(-1, C, frame_size)
+        raw_idx[:R] = np.flatnonzero(is_raw_v).astype(np.int32)
 
-    return q, fs.scales[start : start + count], raw, is_raw
+    return pos, vals, scales, raw_rows, raw_idx, is_raw
 
 
 class Decoder:
@@ -143,26 +164,21 @@ class Decoder:
 
         for start in range(0, F, chunk):
             valid = min(chunk, F - start)
-            q, scales, raw, is_raw = _dense_slices(
-                fs, start, valid, n, cfg.reference_compat
+            pos, vals, scales, raw_rows, raw_idx, is_raw = _sparse_slices(
+                fs, start, valid, chunk, n, cfg.reference_compat
             )
-            if valid < chunk:
-                pad = chunk - valid
-                q = np.concatenate([q, np.zeros((pad, C, n), np.int16)])
-                scales = np.concatenate([scales, np.zeros((pad, C), np.float32)])
-                raw = np.concatenate(
-                    [raw, np.zeros((pad, C, cfg.frame_size), np.int16)]
-                )
-                is_raw = np.concatenate([is_raw, np.zeros(pad, bool)])
 
-            hops, carry = decode_chunk_device(
-                jax.device_put(q),
+            hops, carry = decode_chunk_sparse_device(
+                jax.device_put(pos),
+                jax.device_put(vals),
                 jax.device_put(scales),
-                jax.device_put(raw),
+                jax.device_put(raw_rows),
+                jax.device_put(raw_idx),
                 jax.device_put(is_raw),
                 carry,
                 np.int32(valid),
                 tb.cos_table, tb.window, tb.norm,
+                K=chunk, C=C, n=n,
                 max_q=cfg.max_q,
                 window_raw=window_raw,
             )

@@ -3,11 +3,22 @@
 API mirrors the reference (reference src/codec.rs:396-566):
 
     enc = Encoder(sample_rate)
-    encoded = enc.encode(samples, channels)   # samples: interleaved float32
+    encoded = enc.encode(samples, channels)     # interleaved float32
+    encoded = enc.encode_pcm16(i16, channels)   # exact fast path for 16-bit
+                                                # sources (i16/2^15 == f32)
 
 The reference parallelizes over frames with rayon (codec.rs:462); here the
-frame axis is the batch axis of one jitted device call per chunk, and the
-ragged sparse lists are compacted host-side with vectorized numpy.
+frame axis is the batch axis of one jitted device call per segment.
+
+Transfer-minimal design (the host↔device link, not the MXU, is the bottleneck
+off-chip): the host uploads the *padded signal* once per segment (framing and
+its 2× overlap duplication happen on device), the device compacts the sparse
+quantized result into one packed int32 array (~4 bytes per kept coefficient)
+plus one packed per-frame stats array, and only raw-PCM rows of frames that
+chose the fallback come back at full width.  Segments are dispatched
+asynchronously so uploads, compute, and downloads pipeline on the link.  A
+dense-transfer fallback covers segments whose kept-coefficient count exceeds
+the compaction budget.
 """
 
 from __future__ import annotations
@@ -25,18 +36,23 @@ from ..container.schema import (
     FrameSet,
     GaplessInfo,
 )
-from ..ops.encode import encode_chunk_device
-from .tables import chunk_size_for, get_device_tables
+from ..ops.encode import (
+    encode_signal_dense_device,
+    encode_signal_device,
+    gather_raw_device,
+)
+from .tables import get_device_tables
 
 
-def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig):
+def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig,
+                 dtype=np.float32):
     """Deinterleave + pad, mirroring reference src/codec.rs:427-455.
 
-    Returns (padded [C, P] float32, num_frames, padding, per_channel_len).
+    Returns (padded [C, P], num_frames, padding, per_channel_len).
     Padding: hop/2 leading zeros, pad to hop multiple, hop/2 trailing zeros.
     """
     hop, frame = cfg.hop_size, cfg.frame_size
-    samples = np.asarray(samples, np.float32)
+    samples = np.asarray(samples, dtype)
     if channels <= 0:
         raise ValueError("channels must be >= 1")
     if len(samples) % channels != 0:
@@ -51,12 +67,19 @@ def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig):
     rem = (lead + T) % hop
     mid_pad = (hop - rem) if rem else 0
     P = lead + T + mid_pad + lead
-    padded = np.zeros((channels, P), np.float32)
+    padded = np.zeros((channels, P), dtype)
     padded[:, lead : lead + T] = x
 
     num_frames = 1 if P < frame else (P - frame) // hop + 1
     padding = P - T - lead  # codec.rs:546
     return padded, num_frames, padding, T
+
+
+def _pow2_bucket(count: int, cap: int) -> int:
+    b = 16
+    while b < count and b < cap:
+        b *= 2
+    return min(b, cap)
 
 
 class Encoder:
@@ -76,70 +99,127 @@ class Encoder:
         )
 
     def encode(self, samples: np.ndarray, channels: int) -> EncodedAudio:
-        """Encode interleaved PCM to the GLC container (codec.rs:421-565)."""
+        """Encode interleaved float32 PCM (codec.rs:421-565)."""
+        return self._encode_impl(samples, channels, pcm16=False)
+
+    def encode_pcm16(self, samples_i16: np.ndarray, channels: int) -> EncodedAudio:
+        """Exact fast path for 16-bit integer sources.
+
+        Produces the same container as `encode(samples_i16 / 32768.0, ch)` —
+        the division happens on device (exact in f32) — while uploading half
+        the bytes.
+        """
+        return self._encode_impl(
+            np.asarray(samples_i16, np.int16), channels, pcm16=True
+        )
+
+    def _encode_impl(self, samples, channels: int, *, pcm16: bool) -> EncodedAudio:
         cfg = self.config
         hop, frame_size, n = cfg.hop_size, cfg.frame_size, cfg.n
         C = int(channels)
-        samples = np.asarray(samples, np.float32)
         total_samples = len(samples)
         if total_samples == 0:
             raise ValueError("cannot encode empty input")
 
-        padded, F, padding, _T = frame_signal(samples, C, cfg)
+        dtype = np.int16 if pcm16 else np.float32
+        padded, F, padding, _T = frame_signal(samples, C, cfg, dtype)
         tb = self._tables
-
-        # Framed view [C, F, 2048] without copying: stride by hop.
-        sC, sP = padded.strides
-        frames_view = np.lib.stride_tricks.as_strided(
-            padded, shape=(C, F, frame_size), strides=(sC, sP * hop, sP),
-            writeable=False,
+        params = dict(
+            pcm16=pcm16,
+            quality=cfg.quality_factor,
+            noise_floor_db=cfg.noise_floor_db,
+            compression_threshold=cfg.compression_threshold,
+            max_q=cfg.max_q,
         )
+        tables = (tb.cos_table, tb.window, tb.norm, tb.band_mask,
+                  tb.band_inv_count, tb.band_pf, tb.band_of, tb.inv_w)
 
-        chunk = chunk_size_for(F, cfg.encode_chunk_frames)
+        # Segment the hop axis: a segment of `k` frames needs (k+1)*hop
+        # signal samples (1-hop overlap between segments).  Greedy binary
+        # decomposition (largest power-of-two ≤ remaining, floored at 512)
+        # keeps upload volume within ~2% of the true signal size while XLA
+        # compiles only O(log) distinct shapes.
+        max_chunk = cfg.encode_chunk_frames
+        min_chunk = min(512, max_chunk)
 
+        # --- dispatch phase (async): upload + encode every segment ---
+        segs = []  # (start, valid, seg_chunk, seg_dev, packed_d, stats_d, budget)
+        start = 0
+        while start < F:
+            remaining = F - start
+            if remaining < min_chunk:
+                seg_chunk = _pow2_bucket(remaining, min_chunk)
+            else:
+                seg_chunk = min_chunk
+                while seg_chunk * 2 <= remaining and seg_chunk * 2 <= max_chunk:
+                    seg_chunk *= 2
+            valid = min(seg_chunk, remaining)
+            seg = np.zeros((C, (seg_chunk + 1) * hop), dtype)
+            src = padded[:, start * hop : (start + seg_chunk + 1) * hop]
+            seg[:, : src.shape[1]] = src
+            seg_dev = jax.device_put(seg)
+            budget = max(seg_chunk * C * n // 8, 1 << 14)
+            packed_d, stats_d = encode_signal_device(
+                seg_dev, *tables, budget=budget, **params
+            )
+            segs.append((start, valid, seg_chunk, seg_dev, packed_d, stats_d,
+                         budget))
+            start += seg_chunk
+
+        # --- collect phase ---
         nnz_all = np.empty((F, C), np.int64)
         scales_all = np.empty((F, C), np.float32)
         raw_mask_all = np.empty(F, bool)
         pair_parts = []
         raw_parts = []
 
-        for start in range(0, F, chunk):
-            valid = min(chunk, F - start)
-            blocks = np.zeros((chunk, C, frame_size), np.float32)
-            # [C, valid, 2048] -> [valid, C, 2048]
-            blocks[:valid] = frames_view[:, start : start + valid].transpose(1, 0, 2)
+        for start, valid, seg_chunk, seg_dev, packed_d, stats_d, budget in segs:
+            stats = np.asarray(stats_d)  # one [seg_chunk, 2C+1] transfer
+            nnz = stats[:, :C].astype(np.int64)
+            scale = stats[:, C : 2 * C].view(np.float32)
+            use_raw = stats[:, 2 * C] != 0
 
-            q, nnz, scale, raw, use_raw = encode_chunk_device(
-                jax.device_put(blocks),
-                tb.cos_table, tb.window, tb.norm,
-                tb.band_mask, tb.band_inv_count, tb.band_pf, tb.band_of, tb.inv_w,
-                quality=cfg.quality_factor,
-                noise_floor_db=cfg.noise_floor_db,
-                compression_threshold=cfg.compression_threshold,
-                max_q=cfg.max_q,
-            )
-            q = np.asarray(q)[:valid]
-            nnz = np.asarray(nnz)[:valid]
-            scale = np.asarray(scale)[:valid]
-            use_raw = np.asarray(use_raw)[:valid]
+            seg_total = int(nnz.sum())
+            nnz_v = nnz[:valid]
+            total = int(nnz_v.sum())
 
-            scales_all[start : start + valid] = scale
-            raw_mask_all[start : start + valid] = use_raw
-            nnz_all[start : start + valid] = np.where(use_raw[:, None], 0, nnz)
+            nnz_all[start : start + valid] = nnz_v
+            scales_all[start : start + valid] = scale[:valid]
+            raw_mask_all[start : start + valid] = use_raw[:valid]
 
-            comp = ~use_raw
-            if comp.any():
-                qc = np.where(comp[:, None, None], q, np.int16(0))
-                fidx, cidx, kidx = np.nonzero(qc)
-                pairs = np.empty(len(kidx), PAIR_DTYPE)
-                pairs["k"] = kidx.astype(np.uint16)
-                pairs["q"] = qc[fidx, cidx, kidx]
-                pair_parts.append(pairs)
-            if use_raw.any():
-                raw_np = np.asarray(raw)[:valid]
+            if total > 0:
+                if seg_total <= budget:
+                    cut = _pow2_bucket(seg_total, budget)
+                    packed = np.asarray(packed_d[:cut])[:total]
+                    pairs = np.empty(total, PAIR_DTYPE)
+                    pairs["k"] = (packed >> 16).astype(np.uint16)
+                    pairs["q"] = (packed & 0xFFFF).astype(np.uint16).view(
+                        np.int16
+                    )
+                    pair_parts.append(pairs)
+                else:
+                    # dense fallback for atypically dense segments
+                    q_d, _n2, _s, _u = encode_signal_dense_device(
+                        seg_dev, *tables, **params
+                    )
+                    q_np = np.asarray(q_d)[:valid]
+                    fidx, cidx, kpos = np.nonzero(q_np)
+                    pairs = np.empty(len(kpos), PAIR_DTYPE)
+                    pairs["k"] = kpos.astype(np.uint16)
+                    pairs["q"] = q_np[fidx, cidx, kpos]
+                    pair_parts.append(pairs)
+
+            if use_raw[:valid].any():
+                ridx = np.flatnonzero(use_raw[:valid]).astype(np.int32)
+                rbudget = _pow2_bucket(len(ridx), seg_chunk)
+                idx_pad = np.zeros(rbudget, np.int32)
+                idx_pad[: len(ridx)] = ridx
+                rows = np.asarray(
+                    gather_raw_device(seg_dev, idx_pad, tb.window, pcm16=pcm16)
+                )[: len(ridx)]
                 # channel-major flatten — the reference's actual storage
                 # layout (codec.rs:471-503, quirk Q13)
-                raw_parts.append(raw_np[use_raw].reshape(-1, C * frame_size))
+                raw_parts.append(rows.reshape(-1, C * frame_size))
 
         pairs_all = (
             np.concatenate(pair_parts) if pair_parts else np.empty(0, PAIR_DTYPE)

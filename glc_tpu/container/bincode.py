@@ -50,6 +50,59 @@ def _u64le_bytes(values: np.ndarray) -> np.ndarray:
 
 
 def serialize_encoded(encoded: EncodedAudio) -> bytes:
+    """Serialize to the bincode-v1 wire format.
+
+    Uses the native single-pass writer (native/glc_native.cpp) when
+    available; falls back to the vectorized numpy writer below (kept as the
+    reference implementation — byte-identity is cross-checked in tests).
+    """
+    native = _native_serialize(encoded)
+    if native is not None:
+        return native
+    return _serialize_encoded_numpy(encoded)
+
+
+def _native_serialize(encoded: EncodedAudio):
+    import ctypes as c
+
+    from ..native import get_native
+
+    lib = get_native()
+    if lib is None:
+        return None
+    fs = encoded.frame_set
+    nnz = np.ascontiguousarray(fs.nnz, np.int64)
+    pairs = np.ascontiguousarray(fs.pairs).view(np.uint8)
+    scales = np.ascontiguousarray(fs.scales, np.float32)
+    raw_mask = np.ascontiguousarray(fs.raw_mask, np.uint8)
+    raw_pcm = np.ascontiguousarray(fs.raw_pcm, np.int16)
+    out_ptr = c.POINTER(c.c_uint8)()
+    out_len = c.c_int64()
+    gi = encoded.gapless_info
+    h = encoded.header
+    rc = lib.glc_container_serialize(
+        h.sample_rate, h.channels, h.total_samples,
+        gi.encoder_delay, gi.padding, gi.original_length,
+        fs.num_frames,
+        nnz.ctypes.data_as(c.POINTER(c.c_int64)),
+        pairs.ctypes.data_as(c.POINTER(c.c_uint8)),
+        scales.ctypes.data_as(c.POINTER(c.c_float)),
+        raw_mask.ctypes.data_as(c.POINTER(c.c_uint8)),
+        raw_pcm.ctypes.data_as(c.POINTER(c.c_int16)),
+        fs.raw_pcm.shape[1] if fs.raw_pcm.size else fs.frame_size * fs.channels,
+        c.byref(out_ptr), c.byref(out_len),
+    )
+    if rc != 0:
+        return None
+    try:
+        return bytes(
+            c.cast(out_ptr, c.POINTER(c.c_uint8 * out_len.value)).contents
+        )
+    finally:
+        lib.glc_free(out_ptr)
+
+
+def _serialize_encoded_numpy(encoded: EncodedAudio) -> bytes:
     fs = encoded.frame_set
     F, C = fs.num_frames, fs.channels
     frame_size = fs.frame_size
@@ -150,6 +203,62 @@ class BincodeError(ValueError):
 
 
 def deserialize_encoded(data: Union[bytes, bytearray, memoryview]) -> EncodedAudio:
+    """Parse the bincode-v1 wire format (native two-pass parser when
+    available, numpy fallback otherwise)."""
+    native = _native_deserialize(data)
+    if native is not None:
+        return native
+    return _deserialize_encoded_numpy(data)
+
+
+def _native_deserialize(data):
+    import ctypes as c
+
+    from ..native import get_native
+
+    lib = get_native()
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(data), np.uint8)
+    bp = buf.ctypes.data_as(c.POINTER(c.c_uint8))
+    sr = c.c_uint32(); ch = c.c_uint16(); ts = c.c_uint64()
+    ed = c.c_uint32(); pad = c.c_uint32(); ol = c.c_uint64()
+    F = c.c_int64(); K = c.c_int64(); R = c.c_int64(); L = c.c_int64()
+    rc = lib.glc_container_scan(
+        bp, len(buf), c.byref(sr), c.byref(ch), c.byref(ts),
+        c.byref(ed), c.byref(pad), c.byref(ol),
+        c.byref(F), c.byref(K), c.byref(R), c.byref(L),
+    )
+    if rc != 0:
+        raise BincodeError(f"invalid .glc data (native scan code {rc})")
+    C = ch.value
+    frame_size = (L.value // C) if (R.value and C) else 2048
+    nnz = np.zeros((F.value, C), np.int64)
+    pairs = np.empty(K.value, PAIR_DTYPE)
+    scales = np.zeros((F.value, C), np.float32)
+    raw_mask = np.zeros(F.value, np.uint8)
+    raw_pcm = np.empty((R.value, L.value if R.value else frame_size * C),
+                       np.int16)
+    rc = lib.glc_container_fill(
+        bp, len(buf), F.value, C,
+        nnz.ctypes.data_as(c.POINTER(c.c_int64)),
+        pairs.view(np.uint8).ctypes.data_as(c.POINTER(c.c_uint8)),
+        scales.ctypes.data_as(c.POINTER(c.c_float)),
+        raw_mask.ctypes.data_as(c.POINTER(c.c_uint8)),
+        raw_pcm.ctypes.data_as(c.POINTER(c.c_int16)),
+    )
+    if rc != 0:
+        raise BincodeError(f"invalid .glc data (native fill code {rc})")
+    fs = FrameSet(nnz, pairs, scales, raw_mask.astype(bool), raw_pcm,
+                  frame_size)
+    return EncodedAudio(
+        header=AudioHeader(sr.value, C, ts.value),
+        frame_set=fs,
+        gapless_info=GaplessInfo(ed.value, pad.value, ol.value),
+    )
+
+
+def _deserialize_encoded_numpy(data) -> EncodedAudio:
     buf = np.frombuffer(bytes(data), np.uint8)
     n = len(buf)
     if n < 14 + 8 + 16:

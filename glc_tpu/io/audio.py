@@ -45,6 +45,31 @@ def load_audio_file_lossless(
     raise AudioFormatError(f"Unsupported file format: {ext}")
 
 
+def load_audio_pcm16(path: Union[str, Path]):
+    """If `path` is a 16-bit lossless source (int16 PCM WAV or 16-bit FLAC),
+    return (int16 interleaved samples, sample_rate, channels); else None.
+
+    Enables the encoder's exact half-size-upload fast path (see
+    Encoder.encode_pcm16): for these sources i16/2^15 equals what
+    `load_audio_file_lossless` returns, bit-for-bit.
+    """
+    path = Path(path)
+    ext = path.suffix[1:].lower() if path.suffix else ""
+    if ext == "wav":
+        from .wav import read_wav_pcm16
+        return read_wav_pcm16(path)
+    if ext == "flac":
+        from ..flac.decoder import decode_flac
+        try:
+            samples, rate, channels, bps = decode_flac(path.read_bytes())
+        except Exception:
+            return None
+        if bps != 16:
+            return None
+        return samples.astype(np.int16), rate, channels
+    return None
+
+
 def export_to_wav(
     path: Union[str, Path],
     samples: np.ndarray,

@@ -88,6 +88,40 @@ def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int, int]:
     return samples, int(sample_rate), int(channels)
 
 
+def read_wav_pcm16(path: Union[str, Path]):
+    """If `path` is a 16-bit integer PCM WAV, return (int16 interleaved
+    samples, sample_rate, channels); otherwise None.
+
+    Used for the encoder's exact i16 fast path: for 16-bit sources,
+    i16/2^15 equals the float loader's output bit-for-bit (audio.rs:55),
+    so the conversion can happen on device after a half-size upload.
+    """
+    data = Path(path).read_bytes()
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    fmt = None
+    raw = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        return None
+    (audio_format, channels, sample_rate, _br, _ba,
+     bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format == WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:
+        (audio_format,) = struct.unpack_from("<H", fmt, 24)
+    if audio_format != WAVE_FORMAT_PCM or bits != 16:
+        return None
+    return np.frombuffer(raw, "<i2"), int(sample_rate), int(channels)
+
+
 def write_wav(
     path: Union[str, Path],
     samples: np.ndarray,

@@ -22,6 +22,32 @@ import numpy as np
 from .mdct import imdct
 
 
+def blocks_from_frames(
+    q: jnp.ndarray,        # [..., C, n] int16
+    scales: jnp.ndarray,   # [..., C] f32
+    raw_pcm: jnp.ndarray,  # [..., C, frame_size] int16
+    is_raw: jnp.ndarray,   # [...] bool
+    cos_table: jnp.ndarray,
+    window: jnp.ndarray,
+    norm,
+    *,
+    max_q: float = 32768.0,
+    window_raw: bool = False,
+) -> jnp.ndarray:
+    """Dequantize + IMDCT + window + raw-PCM select → blocks [..., C, 2n].
+
+    Pure local math (no cross-frame coupling) — reused verbatim inside
+    shard_map bodies by glc_tpu.parallel.sharded.
+    """
+    sc = jnp.maximum(scales, np.float32(1e-12))
+    coeffs = (q.astype(jnp.float32) / np.float32(max_q)) * sc[..., None]
+    out = imdct(coeffs, cos_table, norm) * window
+    raw_f = raw_pcm.astype(jnp.float32) / np.float32(32767.0)
+    if window_raw:
+        raw_f = raw_f * window
+    return jnp.where(is_raw[..., None, None], raw_f, out)
+
+
 @partial(jax.jit, static_argnames=("max_q", "window_raw"))
 def decode_chunk_device(
     q: jnp.ndarray,          # [K, C, n] int16 dense quantized coeffs
@@ -49,14 +75,10 @@ def decode_chunk_device(
     """
     K, C, n = q.shape
 
-    sc = jnp.maximum(scales, np.float32(1e-12))
-    coeffs = (q.astype(jnp.float32) / np.float32(max_q)) * sc[..., None]
-    out = imdct(coeffs, cos_table, norm) * window          # [K, C, 2n]
-
-    raw_f = raw_pcm.astype(jnp.float32) / np.float32(32767.0)
-    if window_raw:
-        raw_f = raw_f * window
-    blocks = jnp.where(is_raw[:, None, None], raw_f, out)
+    blocks = blocks_from_frames(
+        q, scales, raw_pcm, is_raw, cos_table, window, norm,
+        max_q=max_q, window_raw=window_raw,
+    )
 
     first = blocks[..., :n]
     second = blocks[..., n:]
@@ -64,3 +86,43 @@ def decode_chunk_device(
     hops = first + prev
     new_carry = jnp.take(second, jnp.maximum(num_valid - 1, 0), axis=0)
     return hops, new_carry
+
+
+@partial(jax.jit, static_argnames=("K", "C", "n", "max_q", "window_raw"))
+def decode_chunk_sparse_device(
+    pos: jnp.ndarray,        # [budget] int32 flat positions into [K*C*n]
+                             #   (fill entries point past the end → dropped)
+    vals: jnp.ndarray,       # [budget] int16 quantized values
+    scales: jnp.ndarray,     # [K, C] f32
+    raw_rows: jnp.ndarray,   # [R, C, frame_size] int16 raw frames only
+    raw_idx: jnp.ndarray,    # [R] int32 frame indices (fill entries = K)
+    is_raw: jnp.ndarray,     # [K] bool
+    carry: jnp.ndarray,      # [C, n] f32
+    num_valid: jnp.ndarray,  # scalar i32
+    cos_table: jnp.ndarray,
+    window: jnp.ndarray,
+    norm: jnp.ndarray,
+    *,
+    K: int,
+    C: int,
+    n: int,
+    max_q: float = 32768.0,
+    window_raw: bool = False,
+):
+    """Transfer-minimal decode: the host uploads sparse (position, value)
+    pairs and only the raw frames that exist; the dense scatter happens in
+    HBM.  Same math as `decode_chunk_device` afterwards."""
+    frame_size = 2 * n
+    q = (
+        jnp.zeros(K * C * n, jnp.int16)
+        .at[pos].set(vals, mode="drop")
+        .reshape(K, C, n)
+    )
+    raw = (
+        jnp.zeros((K, C, frame_size), jnp.int16)
+        .at[raw_idx].set(raw_rows, mode="drop")
+    )
+    return decode_chunk_device(
+        q, scales, raw, is_raw, carry, num_valid, cos_table, window, norm,
+        max_q=max_q, window_raw=window_raw,
+    )

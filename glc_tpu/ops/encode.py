@@ -33,12 +33,8 @@ def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + np.float32(0.5))
 
 
-@partial(
-    jax.jit,
-    static_argnames=("quality", "noise_floor_db", "compression_threshold", "max_q"),
-)
-def encode_chunk_device(
-    blocks: jnp.ndarray,       # [K, C, frame_size] f32, un-windowed
+def encode_math(
+    blocks: jnp.ndarray,       # [..., C, frame_size] f32, un-windowed
     cos_table: jnp.ndarray,    # [n, frame_size] f32
     window: jnp.ndarray,       # [frame_size] f32
     norm: jnp.ndarray,         # scalar f32
@@ -53,8 +49,10 @@ def encode_chunk_device(
     compression_threshold: float = 0.85,
     max_q: float = 32768.0,
 ):
-    """Returns (q int16 [K,C,n], nnz int32 [K,C], scales f32 [K,C],
-    raw_pcm int16 [K,C,frame_size], use_raw bool [K]).
+    """Returns (q int16 [...,C,n], nnz int32 [...,C], scales f32 [...,C],
+    raw_pcm int16 [...,C,frame_size], use_raw bool [...]).
+
+    Pure local math usable under vmap/shard_map (leading dims are batch).
 
     Semantics per reference src/codec.rs:462-541:
       * scale = max |coeff| clamped ≥ 1e-10 (codec.rs:488)
@@ -68,12 +66,12 @@ def encode_chunk_device(
       * use_raw iff estimated compressed size ≥ 0.85 × raw size
         (codec.rs:506-521)
     """
-    K, C, frame_size = blocks.shape
+    C, frame_size = blocks.shape[-2:]
 
     win = blocks * window
-    coeffs = mdct(win, cos_table, norm)              # [K, C, n]
+    coeffs = mdct(win, cos_table, norm)              # [..., C, n]
     absc = jnp.abs(coeffs)
-    scale = jnp.maximum(jnp.max(absc, axis=-1), np.float32(1e-10))  # [K, C]
+    scale = jnp.maximum(jnp.max(absc, axis=-1), np.float32(1e-10))  # [..., C]
 
     thr = masking_thresholds(
         coeffs, scale[..., None], band_mask, band_inv_count, band_pf,
@@ -89,7 +87,7 @@ def encode_chunk_device(
         & (qf != np.float32(0.0))
     )
     q = jnp.where(keep, qf, np.float32(0.0)).astype(jnp.int16)
-    nnz = jnp.sum(keep, axis=-1, dtype=jnp.int32)                    # [K, C]
+    nnz = jnp.sum(keep, axis=-1, dtype=jnp.int32)                    # [..., C]
 
     raw = jnp.trunc(
         jnp.clip(win * np.float32(32767.0), np.float32(-32768.0), np.float32(32767.0))
@@ -97,9 +95,198 @@ def encode_chunk_device(
 
     # Per-frame size model (codec.rs:506-521)
     comp_size = (
-        jnp.sum(8 + 4 * nnz, axis=1) + 8 + 4 * C + 64
+        jnp.sum(8 + 4 * nnz, axis=-1) + 8 + 4 * C + 64
     ).astype(jnp.float32)
     raw_size = np.float32(frame_size * C * 2)
     use_raw = comp_size >= raw_size * np.float32(compression_threshold)
 
     return q, nnz, scale, raw, use_raw
+
+
+@partial(
+    jax.jit,
+    static_argnames=("quality", "noise_floor_db", "compression_threshold", "max_q"),
+)
+def encode_chunk_device(
+    blocks: jnp.ndarray,       # [K, C, frame_size] f32, un-windowed
+    cos_table: jnp.ndarray,
+    window: jnp.ndarray,
+    norm: jnp.ndarray,
+    band_mask: jnp.ndarray,
+    band_inv_count: jnp.ndarray,
+    band_pf: jnp.ndarray,
+    band_of: jnp.ndarray,
+    inv_w: jnp.ndarray,
+    *,
+    quality: float = 0.7,
+    noise_floor_db: float = -48.0,
+    compression_threshold: float = 0.85,
+    max_q: float = 32768.0,
+):
+    """Single-device jitted wrapper over `encode_math` (one chunk of frames).
+
+    Replaces the reference's rayon frame loop (codec.rs:462): the frame axis
+    is the batch axis of one MXU matmul.
+    """
+    return encode_math(
+        blocks, cos_table, window, norm, band_mask, band_inv_count,
+        band_pf, band_of, inv_w,
+        quality=quality, noise_floor_db=noise_floor_db,
+        compression_threshold=compression_threshold, max_q=max_q,
+    )
+
+
+def frames_from_signal(xpad: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Frame a padded signal [C, P] (P a multiple of n) into 50%-overlap
+    blocks [F, C, 2n] with F = P//n − 1, entirely on device.
+
+    Pure reshape + slice + concat: the overlap duplication happens in HBM,
+    not on the host↔device link (uploading the signal instead of expanded
+    blocks halves transfer volume — the dominant cost off-chip).
+    """
+    C, P = xpad.shape
+    r = xpad.reshape(C, P // n, n)
+    blocks = jnp.concatenate([r[:, :-1], r[:, 1:]], axis=-1)  # [C, F, 2n]
+    return blocks.transpose(1, 0, 2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "budget", "pcm16", "quality", "noise_floor_db",
+        "compression_threshold", "max_q",
+    ),
+)
+def encode_signal_device(
+    xpad: jnp.ndarray,         # [C, P] padded signal, P multiple of n;
+                               # f32, or i16 when pcm16=True
+    cos_table: jnp.ndarray,
+    window: jnp.ndarray,
+    norm: jnp.ndarray,
+    band_mask: jnp.ndarray,
+    band_inv_count: jnp.ndarray,
+    band_pf: jnp.ndarray,
+    band_of: jnp.ndarray,
+    inv_w: jnp.ndarray,
+    *,
+    budget: int,
+    pcm16: bool = False,
+    quality: float = 0.7,
+    noise_floor_db: float = -48.0,
+    compression_threshold: float = 0.85,
+    max_q: float = 32768.0,
+):
+    """Transfer-minimal encode: frame on device, compact the sparse result.
+
+    Returns (packed int32 [budget], stats int32 [F, 2C+1]) with F = P//n − 1:
+
+      * packed[i] = (k << 16) | (q & 0xFFFF) — the kept (index, value)
+        pairs in frame-major, channel-major, ascending-k order (the .glc
+        stream order, codec.rs:462-541); only the first sum(nnz) entries
+        are meaningful.  One array → one link transfer.
+      * stats[:, :C] = per-channel nnz, stats[:, C:2C] = bitcast f32 scales,
+        stats[:, 2C] = use_raw flag.
+
+    Frames that chose the raw-PCM fallback contribute no pairs (their nnz
+    is reported as 0).  If sum(nnz) > budget the caller must fall back to
+    `encode_signal_dense_device`.
+
+    pcm16=True takes int16 input and converts with /2^15 on device — exact
+    for 16-bit sources (the loaders divide by 2^(bits−1), audio.rs:55,72),
+    halving upload volume.
+    """
+    if pcm16:
+        xpad = xpad.astype(jnp.float32) / np.float32(32768.0)
+    n = cos_table.shape[0]
+    blocks = frames_from_signal(xpad, n)
+    q, nnz, scale, _raw, use_raw = encode_math(
+        blocks, cos_table, window, norm, band_mask, band_inv_count,
+        band_pf, band_of, inv_w,
+        quality=quality, noise_floor_db=noise_floor_db,
+        compression_threshold=compression_threshold, max_q=max_q,
+    )
+    q = jnp.where(use_raw[:, None, None], jnp.int16(0), q)
+    nnz = jnp.where(use_raw[:, None], 0, nnz)
+
+    flat = q.reshape(-1)
+    (pos,) = jnp.nonzero(flat, size=budget, fill_value=flat.shape[0])
+    vals = jnp.take(flat, pos, mode="fill", fill_value=0)
+    kidx = (pos % n).astype(jnp.int32)
+    packed = (kidx << 16) | (vals.astype(jnp.int32) & 0xFFFF)
+
+    stats = jnp.concatenate(
+        [
+            nnz,
+            jax.lax.bitcast_convert_type(scale, jnp.int32),
+            use_raw.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
+    return packed, stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "pcm16", "quality", "noise_floor_db", "compression_threshold", "max_q",
+    ),
+)
+def encode_signal_dense_device(
+    xpad: jnp.ndarray,
+    cos_table: jnp.ndarray,
+    window: jnp.ndarray,
+    norm: jnp.ndarray,
+    band_mask: jnp.ndarray,
+    band_inv_count: jnp.ndarray,
+    band_pf: jnp.ndarray,
+    band_of: jnp.ndarray,
+    inv_w: jnp.ndarray,
+    *,
+    pcm16: bool = False,
+    quality: float = 0.7,
+    noise_floor_db: float = -48.0,
+    compression_threshold: float = 0.85,
+    max_q: float = 32768.0,
+):
+    """Dense-transfer fallback for chunks whose kept-coefficient count
+    exceeds the compaction budget (atypically dense but still compressed
+    content).  Returns (q, nnz, scale, use_raw)."""
+    if pcm16:
+        xpad = xpad.astype(jnp.float32) / np.float32(32768.0)
+    n = cos_table.shape[0]
+    blocks = frames_from_signal(xpad, n)
+    q, nnz, scale, _raw, use_raw = encode_math(
+        blocks, cos_table, window, norm, band_mask, band_inv_count,
+        band_pf, band_of, inv_w,
+        quality=quality, noise_floor_db=noise_floor_db,
+        compression_threshold=compression_threshold, max_q=max_q,
+    )
+    q = jnp.where(use_raw[:, None, None], jnp.int16(0), q)
+    nnz = jnp.where(use_raw[:, None], 0, nnz)
+    return q, nnz, scale, use_raw
+
+
+@partial(jax.jit, static_argnames=("pcm16",))
+def gather_raw_device(
+    xpad: jnp.ndarray,    # [C, P] f32 (or i16 when pcm16=True)
+    idx: jnp.ndarray,     # [R] int32 frame indices (host-padded, in range)
+    window: jnp.ndarray,
+    *,
+    pcm16: bool = False,
+):
+    """Windowed raw-PCM rows for the frames that chose the fallback
+    (codec.rs:496-502): ×32767, clamp, truncate toward zero.  Only the
+    selected frames cross the link.  Returns int16 [R, C, 2n]."""
+    if pcm16:
+        xpad = xpad.astype(jnp.float32) / np.float32(32768.0)
+    C, P = xpad.shape
+    n = window.shape[0] // 2
+    r = xpad.reshape(C, P // n, n)
+    a = jnp.take(r, idx, axis=1, mode="clip")          # [C, R, n]
+    b = jnp.take(r, idx + 1, axis=1, mode="clip")
+    blocks = jnp.concatenate([a, b], axis=-1).transpose(1, 0, 2)
+    win = blocks * window
+    return jnp.trunc(
+        jnp.clip(win * np.float32(32767.0), np.float32(-32768.0),
+                 np.float32(32767.0))
+    ).astype(jnp.int16)

@@ -524,6 +524,212 @@ bool decode_subframe(BitReader& br, int bs, int bps, int64_t* out) {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// .glc container (bincode v1) serializer / parser.
+//
+// Byte-compatible with Rust bincode::serialize of the reference's serde
+// structs (reference src/codec.rs:31-69, 774-786): little-endian fixed-width
+// ints, u64 Vec lengths, Option as a 1-byte tag.  Columnar in/out matching
+// glc_tpu.container.schema.FrameSet.
+// ---------------------------------------------------------------------------
+
+namespace {
+inline void put_u64(uint8_t*& p, uint64_t v) {
+  std::memcpy(p, &v, 8);
+  p += 8;
+}
+inline void put_u32(uint8_t*& p, uint32_t v) {
+  std::memcpy(p, &v, 4);
+  p += 4;
+}
+inline void put_u16(uint8_t*& p, uint16_t v) {
+  std::memcpy(p, &v, 2);
+  p += 2;
+}
+}  // namespace
+
+extern "C" int64_t glc_container_serialize(
+    uint32_t sample_rate, uint16_t channels, uint64_t total_samples,
+    uint32_t encoder_delay, uint32_t padding, uint64_t original_length,
+    int64_t num_frames,
+    const int64_t* nnz,      // [F, C]
+    const uint8_t* pairs,    // [K] 4-byte (u16 k, i16 q) records, stream order
+    const float* scales,     // [F, C]
+    const uint8_t* raw_mask, // [F]
+    const int16_t* raw_pcm,  // [R, L] rows for raw frames in order
+    int64_t raw_len,         // L = frame_size * channels
+    uint8_t** out, int64_t* out_len) {
+  const int64_t C = channels;
+  // size pass
+  int64_t total = 14 + 8 + 16;
+  int64_t pair_total = 0;
+  for (int64_t f = 0; f < num_frames; f++) {
+    if (raw_mask[f]) {
+      total += 8 + 8 + 1 + 8 + 2 * raw_len;
+    } else {
+      int64_t fp = 0;
+      for (int64_t c = 0; c < C; c++) fp += nnz[f * C + c];
+      total += 8 + 8 * C + 4 * fp + 8 + 4 * C + 1;
+      pair_total += fp;
+    }
+  }
+  uint8_t* buf = (uint8_t*)std::malloc((size_t)total);
+  if (!buf) return -1;
+  uint8_t* p = buf;
+
+  put_u32(p, sample_rate);
+  put_u16(p, channels);
+  put_u64(p, total_samples);
+  put_u64(p, (uint64_t)num_frames);
+
+  const uint8_t* pp = pairs;
+  const int16_t* rp = raw_pcm;
+  for (int64_t f = 0; f < num_frames; f++) {
+    if (raw_mask[f]) {
+      put_u64(p, 0);
+      put_u64(p, 0);
+      *p++ = 1;
+      put_u64(p, (uint64_t)raw_len);
+      std::memcpy(p, rp, (size_t)(2 * raw_len));
+      p += 2 * raw_len;
+      rp += raw_len;
+    } else {
+      put_u64(p, (uint64_t)C);
+      for (int64_t c = 0; c < C; c++) {
+        int64_t cnt = nnz[f * C + c];
+        put_u64(p, (uint64_t)cnt);
+        std::memcpy(p, pp, (size_t)(4 * cnt));
+        p += 4 * cnt;
+        pp += 4 * cnt;
+      }
+      put_u64(p, (uint64_t)C);
+      std::memcpy(p, scales + f * C, (size_t)(4 * C));
+      p += 4 * C;
+      *p++ = 0;
+    }
+  }
+  put_u32(p, encoder_delay);
+  put_u32(p, padding);
+  put_u64(p, original_length);
+
+  if (p - buf != total) {
+    std::free(buf);
+    return -2;
+  }
+  *out = buf;
+  *out_len = total;
+  return 0;
+}
+
+// Parse pass 1: validate + count.  Fills counts so the caller can allocate
+// exactly-sized numpy buffers, then calls glc_container_fill.
+extern "C" int32_t glc_container_scan(
+    const uint8_t* data, int64_t len,
+    uint32_t* sample_rate, uint16_t* channels, uint64_t* total_samples,
+    uint32_t* encoder_delay, uint32_t* padding, uint64_t* original_length,
+    int64_t* num_frames, int64_t* pair_count, int64_t* raw_count,
+    int64_t* raw_len) {
+  if (len < 14 + 8 + 16) return -1;
+  const uint8_t* p = data;
+  std::memcpy(sample_rate, p, 4); p += 4;
+  std::memcpy(channels, p, 2); p += 2;
+  std::memcpy(total_samples, p, 8); p += 8;
+  uint64_t F;
+  std::memcpy(&F, p, 8); p += 8;
+  if ((int64_t)F > len) return -2;
+  const int64_t C = *channels;
+  const uint8_t* end = data + len - 16;
+
+  int64_t pairs = 0, raws = 0, rlen = -1;
+  for (uint64_t f = 0; f < F; f++) {
+    if (p + 8 > end) return -3;
+    uint64_t outer;
+    std::memcpy(&outer, p, 8); p += 8;
+    if (outer == (uint64_t)C && C > 0) {
+      for (int64_t c = 0; c < C; c++) {
+        if (p + 8 > end) return -3;
+        uint64_t cnt;
+        std::memcpy(&cnt, p, 8); p += 8;
+        if (p + 4 * (int64_t)cnt > end) return -3;
+        p += 4 * cnt;
+        pairs += (int64_t)cnt;
+      }
+      if (p + 8 > end) return -3;
+      uint64_t sl;
+      std::memcpy(&sl, p, 8); p += 8;
+      if (sl != (uint64_t)C) return -4;
+      if (p + 4 * C + 1 > end) return -3;
+      p += 4 * C;
+      if (*p++ != 0) return -5;
+    } else if (outer == 0) {
+      if (p + 9 > end) return -3;
+      uint64_t sl;
+      std::memcpy(&sl, p, 8); p += 8;
+      if (sl != 0) return -6;
+      if (*p++ != 1) return -7;
+      uint64_t L;
+      std::memcpy(&L, p, 8); p += 8;
+      if (p + 2 * (int64_t)L > end) return -3;
+      if (rlen < 0) rlen = (int64_t)L;
+      else if (rlen != (int64_t)L) return -8;
+      p += 2 * L;
+      raws++;
+    } else {
+      return -9;
+    }
+  }
+  if (p != end) return -10;
+  std::memcpy(encoder_delay, p, 4);
+  std::memcpy(padding, p + 4, 4);
+  std::memcpy(original_length, p + 8, 8);
+  *num_frames = (int64_t)F;
+  *pair_count = pairs;
+  *raw_count = raws;
+  *raw_len = rlen;
+  return 0;
+}
+
+// Parse pass 2: fill caller-allocated columnar buffers (sizes from scan).
+extern "C" int32_t glc_container_fill(
+    const uint8_t* data, int64_t len, int64_t num_frames, int32_t channels,
+    int64_t* nnz, uint8_t* pairs, float* scales, uint8_t* raw_mask,
+    int16_t* raw_pcm) {
+  const int64_t C = channels;
+  const uint8_t* p = data + 22;
+  const uint8_t* end = data + len - 16;
+  uint8_t* pp = pairs;
+  int16_t* rp = raw_pcm;
+  for (int64_t f = 0; f < num_frames; f++) {
+    uint64_t outer;
+    std::memcpy(&outer, p, 8); p += 8;
+    if (outer == (uint64_t)C && C > 0) {
+      raw_mask[f] = 0;
+      for (int64_t c = 0; c < C; c++) {
+        uint64_t cnt;
+        std::memcpy(&cnt, p, 8); p += 8;
+        nnz[f * C + c] = (int64_t)cnt;
+        std::memcpy(pp, p, (size_t)(4 * cnt));
+        pp += 4 * cnt;
+        p += 4 * cnt;
+      }
+      p += 8;  // scale vec len (validated in scan)
+      std::memcpy(scales + f * C, p, (size_t)(4 * C));
+      p += 4 * C + 1;
+    } else {
+      raw_mask[f] = 1;
+      for (int64_t c = 0; c < C; c++) nnz[f * C + c] = 0;
+      for (int64_t c = 0; c < C; c++) scales[f * C + c] = 0.0f;
+      p += 8 + 1;  // empty scale vec + Some tag
+      uint64_t L;
+      std::memcpy(&L, p, 8); p += 8;
+      std::memcpy(rp, p, (size_t)(2 * L));
+      rp += L;
+      p += 2 * L;
+    }
+  }
+  return p == end ? 0 : -1;
+}
+
 // Decode a whole FLAC stream.  Returns 0 on success; fills malloc'd
 // interleaved int32 samples (caller frees with glc_free on the cast pointer).
 extern "C" int32_t glc_flac_decode(const uint8_t* data, int64_t len,

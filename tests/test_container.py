@@ -176,3 +176,40 @@ def test_zero_nnz_channel():
     )
     dec = deserialize_encoded(serialize_encoded(enc))
     assert len(dec.frames[0].sparse_coeffs_per_channel[0]) == 0
+
+
+def test_native_and_numpy_paths_byte_identical():
+    """The native C++ writer/parser and the numpy fallback must agree."""
+    from glc_tpu.container import bincode as bc
+    from glc_tpu.native import get_native
+
+    assert get_native() is not None
+    rng = np.random.default_rng(7)
+    C = 2
+    frames = []
+    for fi in range(23):
+        if fi % 4 == 1:
+            frames.append(EncodedFrame(
+                raw_pcm=rng.integers(-32768, 32767, 2048 * C).astype(np.int16)
+            ))
+        else:
+            per_ch = []
+            for _ in range(C):
+                nnz = int(rng.integers(0, 30))
+                ks = np.sort(rng.choice(1024, nnz, replace=False)).astype(np.uint16)
+                qs = rng.integers(1, 3000, nnz).astype(np.int16)
+                per_ch.append(make_pairs(list(zip(ks.tolist(), qs.tolist()))))
+            frames.append(EncodedFrame(
+                sparse_coeffs_per_channel=per_ch,
+                scale_factors=rng.random(C).astype(np.float32),
+            ))
+    enc = EncodedAudio.from_frames(
+        AudioHeader(48000, C, 999), frames, GaplessInfo(512, 1, 999)
+    )
+    native_bytes = bc._native_serialize(enc)
+    numpy_bytes = bc._serialize_encoded_numpy(enc)
+    assert native_bytes == numpy_bytes
+
+    a = bc._native_deserialize(native_bytes)
+    b = bc._deserialize_encoded_numpy(native_bytes)
+    assert bc._serialize_encoded_numpy(a) == bc._serialize_encoded_numpy(b)
