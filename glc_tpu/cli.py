@@ -252,13 +252,14 @@ def main(argv: List[str] | None = None) -> int:
             return _main_play(args[1:])
         return _main_encode(args)
 
-    # GUI mode (main.rs:586-611)
+    # GUI mode (main.rs:586-611); fall back to usage + exit 1 when no
+    # GUI backend/display is available, like a build without the ui feature
     try:
         from .ui import run_gui
+        return run_gui()
     except Exception:
         print_usage()
         return 1
-    return run_gui()
 
 
 if __name__ == "__main__":

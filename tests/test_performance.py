@@ -1,0 +1,105 @@
+"""Timing tests (mirrors reference tests/test_performance.rs — printed
+measurements, no hard assertions beyond sanity).
+
+The reference's rayon 1/2/4/8-thread scaling becomes mesh-shard scaling on
+the virtual CPU device mesh.  Real-chip numbers come from bench.py.
+"""
+
+import time
+
+import numpy as np
+
+from glc_tpu import Decoder, Encoder
+from utils import generate_sine_wave, generate_square_wave
+
+
+def test_encoder_construction_cost():
+    """test_performance.rs: encoder construction ×N (table warmup is cached
+    after the first)."""
+    t0 = time.perf_counter()
+    Encoder(44100)
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(100):
+        Encoder(44100)
+    rest = (time.perf_counter() - t0) / 100
+    print(f"Encoder construction: first {first*1000:.1f} ms, "
+          f"cached {rest*1e6:.1f} µs")
+    assert rest < first + 1.0
+
+
+def test_encode_speed_by_duration():
+    enc = Encoder(44100)
+    for duration in (0.5, 1.0, 2.0):
+        samples = generate_sine_wave(440.0, 44100, 1, duration)
+        enc.encode(samples, 1)  # warm compile for this shape bucket
+        t0 = time.perf_counter()
+        enc.encode(samples, 1)
+        dt = time.perf_counter() - t0
+        print(f"encode {duration:.1f}s mono: {dt*1000:.1f} ms "
+              f"({duration/dt:.1f}x realtime)")
+
+
+def test_waveform_complexity():
+    enc = Encoder(44100)
+    for name, samples in [
+        ("sine", generate_sine_wave(440.0, 44100, 1, 1.0)),
+        ("square", generate_square_wave(440.0, 44100, 1, 1.0)),
+    ]:
+        enc.encode(samples, 1)
+        t0 = time.perf_counter()
+        encoded = enc.encode(samples, 1)
+        dt = time.perf_counter() - t0
+        nnz = int(encoded.frame_set.nnz.sum())
+        print(f"{name}: {dt*1000:.1f} ms, {nnz} coefficients kept")
+
+
+def test_stereo_vs_mono():
+    enc = Encoder(44100)
+    mono = generate_sine_wave(440.0, 44100, 1, 1.0)
+    stereo = generate_sine_wave(440.0, 44100, 2, 1.0)
+    enc.encode(mono, 1)
+    enc.encode(stereo, 2)
+    t0 = time.perf_counter(); enc.encode(mono, 1)
+    t_mono = time.perf_counter() - t0
+    t0 = time.perf_counter(); enc.encode(stereo, 2)
+    t_stereo = time.perf_counter() - t0
+    print(f"mono {t_mono*1000:.1f} ms, stereo {t_stereo*1000:.1f} ms, "
+          f"ratio {t_stereo/max(t_mono,1e-9):.2f}")
+
+
+def test_decode_speed_and_roundtrip():
+    samples = generate_sine_wave(440.0, 44100, 1, 2.0)
+    enc = Encoder(44100)
+    encoded = enc.encode(samples, 1)
+    dec = Decoder(1, 44100)
+    dec.decode(encoded)  # warm
+    t0 = time.perf_counter()
+    out = dec.decode(encoded)
+    dt = time.perf_counter() - t0
+    print(f"decode 2s mono: {dt*1000:.1f} ms ({2.0/dt:.1f}x realtime)")
+    assert len(out) == len(samples)
+
+
+def test_mesh_scaling():
+    """The rayon-thread-scaling analog: sharded encode on 1/2/4/8 virtual
+    devices (test_performance.rs:134-156)."""
+    import jax
+
+    from glc_tpu.codec.tables import get_device_tables
+    from glc_tpu.parallel import encode_chunk_sharded, make_mesh
+
+    if len(jax.devices()) < 8:
+        print("skipping: <8 devices")
+        return
+    tables = get_device_tables(1024, 2048, 44100)
+    rng = np.random.default_rng(0)
+    blocks = rng.standard_normal((2, 64, 2, 2048)).astype(np.float32) * 0.1
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n)
+        encode_chunk_sharded(mesh, blocks, tables)  # warm
+        t0 = time.perf_counter()
+        out = encode_chunk_sharded(mesh, blocks, tables)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        print(f"mesh {dict(mesh.shape)}: {dt*1000:.1f} ms")
