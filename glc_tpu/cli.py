@@ -91,8 +91,8 @@ def decode_file(input_path: Path, output_format: str, flac_level: int) -> None:
     """main.rs:54-113"""
     from .codec.decoder import Decoder
     from .container.bincode import load_encoded
-    from .flac.encoder import export_to_flac_with_level
-    from .io.audio import export_to_wav
+    from .flac.encoder import export_to_flac_i16_with_level
+    from .io.wav import write_wav_i16
 
     print(f"Loading: {input_path.name!r}")
     encoded = load_encoded(input_path)
@@ -100,19 +100,21 @@ def decode_file(input_path: Path, output_format: str, flac_level: int) -> None:
           f"{encoded.header.channels} channels")
 
     decoder = Decoder(encoded.header.channels, encoded.header.sample_rate)
-    samples = decoder.decode(encoded)
+    # decode straight to i16 on device — the exporters' conversion applied
+    # before download (half the device→host transfer, ≤1 LSB of the f32 path)
+    samples = decoder.decode_i16(encoded)
     print(f"Decoded {len(samples)} samples")
 
     if output_format == "flac":
         output_path = input_path.with_suffix(".flac")
-        export_to_flac_with_level(
+        export_to_flac_i16_with_level(
             output_path, samples, encoded.header.sample_rate,
             encoded.header.channels, flac_level,
         )
         print(f"Saved: {output_path.name!r} (FLAC, level {flac_level})")
     elif output_format == "wav":
         output_path = input_path.with_suffix(".wav")
-        export_to_wav(output_path, samples, encoded.header.sample_rate,
+        write_wav_i16(output_path, samples, encoded.header.sample_rate,
                       encoded.header.channels)
         print(f"Saved: {output_path.name!r} (WAV)")
     else:

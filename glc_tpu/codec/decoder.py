@@ -214,6 +214,71 @@ class Decoder:
             )
         )
 
+    # --- fast non-streaming decode to int16 (export path) ---
+
+    def decode_i16(self, encoded: EncodedAudio) -> np.ndarray:
+        """Decode straight to int16 with the exporters' conversion applied on
+        device (trunc(clip(x·32767)), audio.rs:9-16) — equal to
+        `convert_f32_to_i16(self.decode(encoded))` within 1 LSB (the
+        separately compiled program can shift the f32 hops by ±1 ulp), at
+        half the download and with a deep dispatch pipeline (the device
+        chains the carry without host round-trips)."""
+        cfg = self.config
+        n, C = cfg.n, encoded.header.channels
+        fs = encoded.frame_set
+        F = fs.num_frames
+        tb = self._tables
+        chunk = chunk_size_for(max(F, 1), cfg.decode_chunk_frames)
+        carry = jax.device_put(np.zeros((C, n), np.float32))
+        window_raw = not cfg.reference_compat
+
+        parts = []
+
+        def collect(handle):
+            hops_d, valid = handle
+            hops = np.asarray(hops_d)[:valid]          # [valid, C, n] i16
+            parts.append(hops.transpose(0, 2, 1).reshape(-1))
+
+        handles = []
+        for start in range(0, F, chunk):
+            valid = min(chunk, F - start)
+            pos, vals, scales, raw_rows, raw_idx, is_raw = _sparse_slices(
+                fs, start, valid, chunk, n, cfg.reference_compat
+            )
+            out_frames = 0 if valid == chunk else _pow2_bucket(valid, chunk)
+            hops_d, carry = decode_chunk_sparse_device(
+                jax.device_put(pos), jax.device_put(vals),
+                jax.device_put(scales), jax.device_put(raw_rows),
+                jax.device_put(raw_idx), jax.device_put(is_raw),
+                carry, np.int32(valid),
+                tb.cos_table, tb.window, tb.norm,
+                K=chunk, C=C, n=n,
+                max_q=cfg.max_q, window_raw=window_raw,
+                out_i16=True, out_frames=out_frames,
+            )
+            handles.append((hops_d, valid))
+            # bound in-flight device memory while keeping the pipeline deep
+            if len(handles) > 8:
+                collect(handles.pop(0))
+
+        for handle in handles:
+            collect(handle)
+        tail_f = np.asarray(carry).T.reshape(-1)       # [n*C] interleaved f32
+        tail = np.trunc(
+            np.clip(tail_f * np.float32(32767.0), -32768.0, 32767.0)
+        ).astype(np.int16)
+        all_samples = np.concatenate(parts + [tail]) if parts else tail
+
+        gi = encoded.gapless_info
+        delay = gi.encoder_delay
+        if not self.config.reference_compat:
+            delay *= C
+        if len(all_samples) > delay:
+            all_samples = all_samples[delay:]
+        if len(all_samples) > gi.original_length:
+            all_samples = all_samples[: gi.original_length]
+        return all_samples
+
     # --- synchronous decode + gapless trim (codec.rs:744-768) ---
 
     def decode(

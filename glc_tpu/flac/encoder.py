@@ -110,6 +110,19 @@ def encode_flac_with_level(
 ) -> bytes:
     """flac.rs:946-1052"""
     i16 = convert_f32_to_i16(samples)  # flac.rs:955-958, same trunc cast
+    return encode_flac_i16_with_level(i16, sample_rate, channels,
+                                      compression_level)
+
+
+def encode_flac_i16_with_level(
+    i16: np.ndarray,
+    sample_rate: int,
+    channels: int,
+    compression_level: int,
+) -> bytes:
+    """Entry for already-16-bit samples (skips the f32 conversion) — used by
+    the decode→export fast path, where the decoder emits i16 directly."""
+    i16 = np.asarray(i16, np.int16)
     total = len(i16) // channels
     if total < 16:
         raise FlacError(
@@ -174,6 +187,19 @@ def export_to_flac_with_level(
     Path(path).write_bytes(
         encode_flac_with_level(samples, sample_rate, channels,
                                compression_level)
+    )
+
+
+def export_to_flac_i16_with_level(
+    path: Union[str, Path],
+    i16: np.ndarray,
+    sample_rate: int,
+    channels: int,
+    compression_level: int,
+) -> None:
+    Path(path).write_bytes(
+        encode_flac_i16_with_level(i16, sample_rate, channels,
+                                   compression_level)
     )
 
 

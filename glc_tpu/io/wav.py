@@ -134,7 +134,17 @@ def write_wav(
         np.clip(np.asarray(samples, np.float32) * np.float32(32767.0),
                 -32768.0, 32767.0)
     ).astype("<i2")
-    payload = i16.tobytes()
+    write_wav_i16(path, i16, sample_rate, channels)
+
+
+def write_wav_i16(
+    path: Union[str, Path],
+    i16: np.ndarray,
+    sample_rate: int,
+    channels: int,
+) -> None:
+    """Write already-16-bit interleaved samples (decode→export fast path)."""
+    payload = np.asarray(i16, "<i2").tobytes()
     byte_rate = sample_rate * channels * 2
     block_align = channels * 2
     header = b"".join([

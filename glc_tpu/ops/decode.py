@@ -88,7 +88,8 @@ def decode_chunk_device(
     return hops, new_carry
 
 
-@partial(jax.jit, static_argnames=("K", "C", "n", "max_q", "window_raw"))
+@partial(jax.jit, static_argnames=("K", "C", "n", "max_q", "window_raw",
+                                   "out_i16", "out_frames"))
 def decode_chunk_sparse_device(
     pos: jnp.ndarray,        # [budget] int32 flat positions into [K*C*n]
                              #   (fill entries point past the end → dropped)
@@ -108,10 +109,22 @@ def decode_chunk_sparse_device(
     n: int,
     max_q: float = 32768.0,
     window_raw: bool = False,
+    out_i16: bool = False,
+    out_frames: int = 0,
 ):
     """Transfer-minimal decode: the host uploads sparse (position, value)
     pairs and only the raw frames that exist; the dense scatter happens in
-    HBM.  Same math as `decode_chunk_device` afterwards."""
+    HBM.  Same math as `decode_chunk_device` afterwards.
+
+    out_i16=True applies the exporters' f32→i16 conversion on device
+    (×32767, clamp, truncate toward zero — audio.rs:9-16) before download,
+    halving output transfer for file-export paths (within 1 LSB of the
+    host-side conversion; the differently-fused program can shift hops by
+    ±1 ulp).
+    out_frames>0 additionally slices the output to the first `out_frames`
+    frames on device (bucketed by the caller) so padding never crosses the
+    link.
+    """
     frame_size = 2 * n
     q = (
         jnp.zeros(K * C * n, jnp.int16)
@@ -122,7 +135,19 @@ def decode_chunk_sparse_device(
         jnp.zeros((K, C, frame_size), jnp.int16)
         .at[raw_idx].set(raw_rows, mode="drop")
     )
-    return decode_chunk_device(
+    hops, new_carry = decode_chunk_device(
         q, scales, raw, is_raw, carry, num_valid, cos_table, window, norm,
         max_q=max_q, window_raw=window_raw,
     )
+    if out_frames:
+        hops = hops[:out_frames]
+    if out_i16:
+        # barriers pin both the f32 hops and the f32 product so XLA cannot
+        # evaluate ×32767 in excess precision before trunc — keeps
+        # decode_i16 bit-identical to host-side convert_f32_to_i16(decode())
+        hops = jax.lax.optimization_barrier(hops)
+        prod = jax.lax.optimization_barrier(hops * np.float32(32767.0))
+        hops = jnp.trunc(
+            jnp.clip(prod, np.float32(-32768.0), np.float32(32767.0))
+        ).astype(jnp.int16)
+    return hops, new_carry

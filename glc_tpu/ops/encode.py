@@ -27,10 +27,17 @@ def _noise_floor_linear(noise_floor_db: float) -> np.float32:
 def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
     """Rust f32::round semantics: round half away from zero.
 
-    jnp.round rounds half-to-even, which would disagree with the reference on
-    exact .5 ties (SURVEY.md §7 hard part #2).
+    jnp.round rounds half-to-even, which would disagree with the reference
+    on exact .5 ties, and the classic floor(|x|+0.5) trick is wrong for
+    values one ulp below .5 (the f32 addition ties upward) — so compute the
+    fractional part exactly instead (x−trunc(x) is exact for |x| < 2^23;
+    SURVEY.md §7 hard part #2).
     """
-    return jnp.sign(x) * jnp.floor(jnp.abs(x) + np.float32(0.5))
+    t = jnp.trunc(x)
+    frac = x - t
+    return t + jnp.where(
+        jnp.abs(frac) >= np.float32(0.5), jnp.sign(x), np.float32(0.0)
+    )
 
 
 def encode_math(

@@ -55,14 +55,14 @@ def mdct_fused(
     window: jnp.ndarray,     # [2n] f32
     norm: jnp.ndarray,       # scalar f32
     *,
-    tile_b: int = 256,
+    tile_b: int = 128,
     interpret: bool = False,
 ):
     """Fused window+MDCT+scale over a batch of rows.
 
     Returns (coeffs [B, n] f32, scale [B] f32).  VMEM budget per step:
-    8 MB table + tile_b·(2n·4 + n·4) ≈ 8 MB + 3 MB at tile_b=256 — inside
-    the ~16 MB/core VMEM.
+    8 MB table + tile_b·(2n·4 + n·4) ≈ 8 MB + 1.5 MB at tile_b=128 plus
+    double-buffering — inside the ~16 MB/core VMEM (256 exceeds it).
     """
     B, frame = blocks2d.shape
     n = cos_table.shape[0]
@@ -121,7 +121,7 @@ def imdct_fused(
     window: jnp.ndarray,     # [2n] f32
     norm: jnp.ndarray,
     *,
-    tile_b: int = 256,
+    tile_b: int = 128,
     interpret: bool = False,
 ):
     """Fused IMDCT+window.  Returns windowed blocks [B, 2n] f32."""

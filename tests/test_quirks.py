@@ -114,3 +114,39 @@ def test_untrimmed_streaming_length():
             break
     F = len(encoded.frames)
     assert total == (F + 1) * 1024
+
+
+def test_decode_i16_matches_f32_path():
+    """decode_i16 applies the exporters' trunc(clip(x·32767)) conversion on
+    device.  The f32 hops come from a *differently compiled* XLA program
+    than decode()'s, so values may differ by ±1 ulp — which flips the i16
+    LSB only where x·32767 sits exactly on an integer boundary.  Contract:
+    ≤1 LSB difference, on a vanishing fraction of samples."""
+    from glc_tpu.io.audio import convert_f32_to_i16
+
+    samples = generate_sine_wave(440.0, 44100, 2, 1.3)
+    encoded = Encoder(44100).encode(samples, 2)
+    dec = Decoder(2, 44100)
+    f32 = dec.decode(encoded)
+    i16 = dec.decode_i16(encoded)
+    assert i16.dtype == np.int16
+    assert len(i16) == len(f32)
+    ref = convert_f32_to_i16(f32)
+    diff = np.abs(i16.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-3
+
+
+def test_round_half_away_matches_rust_semantics():
+    """Rust f32::round rounds half away from zero; jnp.round would round
+    half to even (SURVEY.md §7 hard part #2)."""
+    import jax
+
+    from glc_tpu.ops.encode import round_half_away
+
+    cases = np.array([0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 0.49999997,
+                      -0.49999997, 3.0, -3.0, 0.0], np.float32)
+    expected = np.array([1.0, 2.0, 3.0, -1.0, -2.0, -3.0, 0.0,
+                         -0.0, 3.0, -3.0, 0.0], np.float32)
+    got = np.asarray(jax.jit(round_half_away)(cases))
+    np.testing.assert_array_equal(got, expected)

@@ -103,3 +103,18 @@ def test_roundtrip_step_runs(tables):
     mse = float(mse)
     assert np.isfinite(mse)
     assert np.asarray(hops).shape == (2, 8, 1, 1024)
+
+
+def test_graft_entry_and_dryrun():
+    """The driver contract: entry() compiles single-chip; dryrun_multichip
+    compiles and executes the sharded step on the virtual mesh."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    q, nnz, scales, raw, use_raw = out
+    assert q.shape == (128, 2, 1024)
+    assert use_raw.shape == (128,)
+    g.dryrun_multichip(8)
