@@ -40,6 +40,7 @@ def _mdct_kernel(x_ref, table_ref, window_ref, norm_ref, coeffs_ref, scale_ref):
         win, table_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) * norm_ref[0]
     coeffs_ref[:] = coeffs
     scale_ref[:] = jnp.maximum(
@@ -110,6 +111,7 @@ def _imdct_kernel(c_ref, table_ref, window_ref, norm_ref, out_ref):
         c_ref[:], table_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) * norm_ref[0]
     out_ref[:] = out * window_ref[:]
 
