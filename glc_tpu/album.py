@@ -1,0 +1,84 @@
+"""Album-level operations: gapless playlist decode and concatenated export.
+
+Library form of the GUI's "gapless album join" (reference src/ui.rs:291-402):
+decode every .glc in order, concatenate the trimmed streams, export one
+lossless file.  The per-file trims make the concatenation sample-exact at
+track boundaries — the gapless contract (reference tests/test_codec.rs:139-170).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .codec.decoder import Decoder
+from .container.bincode import load_encoded
+from .container.schema import Progress
+
+
+def decode_playlist(
+    paths: Sequence[Union[str, Path]],
+    progress: Optional[Callable[[Progress], None]] = None,
+):
+    """Decode a playlist to one concatenated int16 stream.
+
+    Returns (samples int16 interleaved, sample_rate, channels).  All files
+    must share a sample rate and channel count (ui.rs decodes them into one
+    sink; mismatched playlists are an error here rather than silent
+    resampling).
+    """
+    if not paths:
+        raise ValueError("empty playlist")
+    parts: List[np.ndarray] = []
+    rate = channels = None
+    for i, path in enumerate(paths):
+        path = Path(path)
+        if progress:
+            progress(Progress.status(f"Decoding {path.name}"))
+        encoded = load_encoded(path)
+        h = encoded.header
+        if rate is None:
+            rate, channels = h.sample_rate, h.channels
+        elif (h.sample_rate, h.channels) != (rate, channels):
+            raise ValueError(
+                f"{path.name}: {h.sample_rate} Hz/{h.channels}ch does not "
+                f"match playlist {rate} Hz/{channels}ch"
+            )
+        dec = Decoder(channels, rate)
+        parts.append(dec.decode_i16(encoded))
+        if progress:
+            progress(Progress.decoding((i + 1) / len(paths) * 100.0))
+    return np.concatenate(parts), rate, channels
+
+
+def export_playlist_to_flac(
+    paths: Sequence[Union[str, Path]],
+    out_path: Union[str, Path],
+    compression_level: int = 5,
+    progress: Optional[Callable[[Progress], None]] = None,
+) -> None:
+    """ui.rs:291-402 — decode all, concatenate, single FLAC export."""
+    from .flac.encoder import export_to_flac_i16_with_level
+
+    samples, rate, channels = decode_playlist(paths, progress)
+    if progress:
+        progress(Progress.exporting(90.0))
+    export_to_flac_i16_with_level(out_path, samples, rate, channels,
+                                  compression_level)
+    if progress:
+        progress(Progress.complete(f"Exported {len(paths)} tracks"))
+
+
+def export_playlist_to_wav(
+    paths: Sequence[Union[str, Path]],
+    out_path: Union[str, Path],
+    progress: Optional[Callable[[Progress], None]] = None,
+) -> None:
+    from .io.wav import write_wav_i16
+
+    samples, rate, channels = decode_playlist(paths, progress)
+    write_wav_i16(out_path, samples, rate, channels)
+    if progress:
+        progress(Progress.complete(f"Exported {len(paths)} tracks"))

@@ -114,6 +114,12 @@ class Encoder:
         )
 
     def _encode_impl(self, samples, channels: int, *, pcm16: bool) -> EncodedAudio:
+        from ..profiling import maybe_trace
+
+        with maybe_trace("encode"):
+            return self._encode_traced(samples, channels, pcm16=pcm16)
+
+    def _encode_traced(self, samples, channels: int, *, pcm16: bool) -> EncodedAudio:
         cfg = self.config
         hop, frame_size, n = cfg.hop_size, cfg.frame_size, cfg.n
         C = int(channels)

@@ -216,27 +216,17 @@ def run_gui() -> int:
         level = int(level_var.get())
 
         def work():
-            import numpy as np
+            from .album import export_playlist_to_flac
+            from .container.schema import ProgressKind
 
-            from .codec.decoder import Decoder
-            from .container.bincode import load_encoded
-            from .flac.encoder import export_to_flac_with_level
+            def on_progress(p):
+                if p.kind in (ProgressKind.DECODING, ProgressKind.EXPORTING):
+                    state.export_progress = float(p.value)
+                elif p.kind == ProgressKind.STATUS:
+                    state.set_status(str(p.value))
 
             try:
-                all_samples = []
-                rate, ch = 44100, 2
-                for i, path in enumerate(files):
-                    state.set_status(f"Decoding {path.name}...")
-                    state.export_progress = i / len(files) * 80.0
-                    encoded = load_encoded(path)
-                    rate = encoded.header.sample_rate
-                    ch = encoded.header.channels
-                    dec = Decoder(ch, rate)
-                    all_samples.append(dec.decode(encoded))
-                state.set_status("Exporting FLAC...")
-                state.export_progress = 90.0
-                album = np.concatenate(all_samples)  # the album join
-                export_to_flac_with_level(out_name, album, rate, ch, level)
+                export_playlist_to_flac(files, out_name, level, on_progress)
                 state.export_progress = 100.0
                 state.set_status("Export complete", out_name)
             except Exception as e:

@@ -112,3 +112,48 @@ def test_no_extension(tmp_path):
     p.write_bytes(b"junk")
     with pytest.raises(AudioFormatError):
         load_audio_file_lossless(p)
+
+
+def test_album_playlist_export(tmp_path):
+    """Library-level gapless album join (glc_tpu.album; ui.rs:291-402)."""
+    from glc_tpu.album import decode_playlist, export_playlist_to_flac
+    from glc_tpu import Encoder, save_encoded
+    from glc_tpu.flac.decoder import read_flac
+
+    paths = []
+    total = 0
+    for i, freq in enumerate((440.0, 880.0)):
+        s = generate_sine_wave(freq, 44100, 1, 0.7)
+        total += len(s)
+        p = tmp_path / f"t{i}.glc"
+        save_encoded(Encoder(44100).encode(s, 1), p)
+        paths.append(p)
+
+    samples, rate, channels = decode_playlist(paths)
+    assert (rate, channels) == (44100, 1)
+    assert len(samples) == total
+
+    out = tmp_path / "album.flac"
+    export_playlist_to_flac(paths, out, 5)
+    reloaded, r, c = read_flac(out)
+    assert len(reloaded) == total
+
+
+def test_album_mismatched_rates_rejected(tmp_path):
+    from glc_tpu.album import decode_playlist
+    from glc_tpu import Encoder, save_encoded
+
+    p1 = tmp_path / "a.glc"
+    p2 = tmp_path / "b.glc"
+    save_encoded(Encoder(44100).encode(
+        generate_sine_wave(440.0, 44100, 1, 0.5), 1), p1)
+    save_encoded(Encoder(48000).encode(
+        generate_sine_wave(440.0, 48000, 1, 0.5), 1), p2)
+    with pytest.raises(ValueError):
+        decode_playlist([p1, p2])
+
+
+def test_album_empty_playlist_rejected():
+    from glc_tpu.album import decode_playlist
+    with pytest.raises(ValueError):
+        decode_playlist([])
