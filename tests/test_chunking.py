@@ -1,0 +1,50 @@
+"""Segment/chunk invariance: results must not depend on how the frame axis
+is split into device chunks (the rebuild's analog of the reference's
+"never rely on completion order" lesson, SURVEY.md §5 race detection)."""
+
+import numpy as np
+
+from glc_tpu import CodecConfig, Decoder, Encoder, serialize_encoded
+from utils import generate_frequency_sweep, generate_white_noise
+
+
+def test_encode_segmentation_invariance():
+    """A ~30 s signal spans multiple encode segments at small chunk sizes;
+    the container must be byte-identical to the single-segment result."""
+    samples = generate_frequency_sweep(100.0, 8000.0, 44100, 1, 30.0)
+    big = Encoder(44100, config=CodecConfig(encode_chunk_frames=4096))
+    small = Encoder(44100, config=CodecConfig(encode_chunk_frames=512))
+    data_big = serialize_encoded(big.encode(samples, 1))
+    data_small = serialize_encoded(small.encode(samples, 1))
+    assert data_big == data_small
+
+
+def test_encode_segmentation_invariance_with_raw_frames():
+    """Mixed raw/compressed content across segment boundaries."""
+    tone = generate_frequency_sweep(200.0, 2000.0, 44100, 1, 10.0)
+    noise = generate_white_noise(44100, 1, 10.0, 11)
+    samples = np.concatenate([tone, noise, tone]).astype(np.float32)
+    big = Encoder(44100, config=CodecConfig(encode_chunk_frames=4096))
+    small = Encoder(44100, config=CodecConfig(encode_chunk_frames=512))
+    ea_big = big.encode(samples, 1)
+    ea_small = small.encode(samples, 1)
+    assert int(ea_big.frame_set.raw_mask.sum()) > 0
+    assert serialize_encoded(ea_big) == serialize_encoded(ea_small)
+
+
+def test_decode_chunking_invariance():
+    """Decode output must be identical whether the carry crosses one chunk
+    boundary or many."""
+    samples = generate_frequency_sweep(100.0, 4000.0, 44100, 2, 15.0)
+    encoded = Encoder(44100).encode(samples, 2)
+    big = Decoder(2, 44100, config=CodecConfig(decode_chunk_frames=4096))
+    small = Decoder(2, 44100, config=CodecConfig(decode_chunk_frames=512))
+    out_big = big.decode(encoded)
+    out_small = small.decode(encoded)
+    # different chunk sizes are different XLA programs → ±ulp f32 wiggle
+    np.testing.assert_allclose(out_big, out_small, atol=2e-6)
+    i_big = big.decode_i16(encoded).astype(np.int32)
+    i_small = small.decode_i16(encoded).astype(np.int32)
+    diff = np.abs(i_big - i_small)
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-3

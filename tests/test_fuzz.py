@@ -1,0 +1,94 @@
+"""Deterministic fuzz of the native parsers: mutated and random buffers must
+produce clean errors, never crashes or hangs (the C++ scan passes are fully
+bounds-checked)."""
+
+import numpy as np
+import pytest
+
+from glc_tpu import Encoder, serialize_encoded
+from glc_tpu.container.bincode import BincodeError, deserialize_encoded
+from glc_tpu.flac import decode_flac, encode_flac
+from glc_tpu.flac.decoder import FlacDecodeError
+from utils import generate_sine_wave
+
+
+@pytest.fixture(scope="module")
+def glc_bytes():
+    samples = generate_sine_wave(440.0, 44100, 2, 0.5)
+    return serialize_encoded(Encoder(44100).encode(samples, 2))
+
+
+@pytest.fixture(scope="module")
+def flac_bytes():
+    samples = generate_sine_wave(440.0, 44100, 1, 0.5)
+    return encode_flac(samples, 44100, 1)
+
+
+def test_glc_random_buffers():
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 13, 37, 100, 4096):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        with pytest.raises(BincodeError):
+            deserialize_encoded(data)
+
+
+def test_glc_truncations(glc_bytes):
+    rng = np.random.default_rng(1)
+    cuts = rng.integers(1, len(glc_bytes), 50)
+    survived = 0
+    for cut in cuts:
+        try:
+            deserialize_encoded(glc_bytes[: int(cut)])
+            survived += 1  # a prefix can rarely still parse cleanly
+        except BincodeError:
+            pass
+    # truncation must essentially always be detected
+    assert survived <= 1
+
+
+def test_glc_byte_flips(glc_bytes):
+    """Flipped bytes either error or parse to *something* — never crash.
+    (bincode has no checksums, so some flips produce valid-but-different
+    containers, exactly like the reference.)"""
+    rng = np.random.default_rng(2)
+    for _ in range(60):
+        buf = bytearray(glc_bytes)
+        i = int(rng.integers(0, len(buf)))
+        buf[i] ^= int(rng.integers(1, 256))
+        try:
+            deserialize_encoded(bytes(buf))
+        except BincodeError:
+            pass
+
+
+def test_flac_random_buffers():
+    rng = np.random.default_rng(3)
+    for n in (0, 3, 4, 42, 1000):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        with pytest.raises(FlacDecodeError):
+            decode_flac(data)
+
+
+def test_flac_byte_flips(flac_bytes):
+    """CRC-8/16 verification catches essentially all frame corruption."""
+    rng = np.random.default_rng(4)
+    silent = 0
+    for _ in range(60):
+        buf = bytearray(flac_bytes)
+        i = int(rng.integers(42, len(buf)))  # past fLaC+STREAMINFO
+        buf[i] ^= int(rng.integers(1, 256))
+        try:
+            decode_flac(bytes(buf))
+            silent += 1
+        except FlacDecodeError:
+            pass
+    assert silent <= 2
+
+
+def test_flac_truncations(flac_bytes):
+    rng = np.random.default_rng(5)
+    for cut in rng.integers(4, len(flac_bytes), 40):
+        try:
+            decode_flac(flac_bytes[: int(cut)])
+        except FlacDecodeError:
+            pass
