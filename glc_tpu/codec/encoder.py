@@ -97,6 +97,9 @@ class Encoder:
         self._tables = get_device_tables(
             self.config.n, self.config.frame_size, self.sample_rate
         )
+        # adaptive guess for the single-transfer pair prefix (see collect
+        # phase): last segment's kept-pair count, per channel count
+        self._pair_guess: dict = {}
 
     def encode(self, samples: np.ndarray, channels: int) -> EncodedAudio:
         """Encode interleaved float32 PCM (codec.rs:421-565)."""
@@ -165,11 +168,10 @@ class Encoder:
             seg[:, : src.shape[1]] = src
             seg_dev = jax.device_put(seg)
             budget = max(seg_chunk * C * n // 8, 1 << 14)
-            packed_d, stats_d = encode_signal_device(
+            out_d = encode_signal_device(
                 seg_dev, *tables, budget=budget, **params
             )
-            segs.append((start, valid, seg_chunk, seg_dev, packed_d, stats_d,
-                         budget))
+            segs.append((start, valid, seg_chunk, seg_dev, out_d, budget))
             start += seg_chunk
 
         # --- collect phase ---
@@ -179,8 +181,17 @@ class Encoder:
         pair_parts = []
         raw_parts = []
 
-        for start, valid, seg_chunk, seg_dev, packed_d, stats_d, budget in segs:
-            stats = np.asarray(stats_d)  # one [seg_chunk, 2C+1] transfer
+        stats_width = 2 * C + 1
+        for start, valid, seg_chunk, seg_dev, out_d, budget in segs:
+            S = seg_chunk * stats_width
+            # One transfer fetches the stats prefix plus a guessed number of
+            # packed pairs; a second fetch happens only when the guess was
+            # short (the guess adapts per (channels, chunk) key).
+            guess = self._pair_guess.get((C, seg_chunk), max(budget // 8,
+                                                            1 << 14))
+            cut0 = _pow2_bucket(guess, budget)
+            first = np.asarray(out_d[: S + cut0])
+            stats = first[:S].reshape(seg_chunk, stats_width)
             nnz = stats[:, :C].astype(np.int64)
             scale = stats[:, C : 2 * C].view(np.float32)
             use_raw = stats[:, 2 * C] != 0
@@ -188,6 +199,7 @@ class Encoder:
             seg_total = int(nnz.sum())
             nnz_v = nnz[:valid]
             total = int(nnz_v.sum())
+            self._pair_guess[(C, seg_chunk)] = seg_total + seg_total // 4 + 1
 
             nnz_all[start : start + valid] = nnz_v
             scales_all[start : start + valid] = scale[:valid]
@@ -195,8 +207,12 @@ class Encoder:
 
             if total > 0:
                 if seg_total <= budget:
-                    cut = _pow2_bucket(seg_total, budget)
-                    packed = np.asarray(packed_d[:cut])[:total]
+                    if seg_total > cut0:
+                        cut = _pow2_bucket(seg_total, budget)
+                        tail = np.asarray(out_d[S + cut0 : S + cut])
+                        packed = np.concatenate([first[S:], tail])[:total]
+                    else:
+                        packed = first[S : S + total]
                     pairs = np.empty(total, PAIR_DTYPE)
                     pairs["k"] = (packed >> 16).astype(np.uint16)
                     pairs["q"] = (packed & 0xFFFF).astype(np.uint16).view(

@@ -185,14 +185,16 @@ def encode_signal_device(
 ):
     """Transfer-minimal encode: frame on device, compact the sparse result.
 
-    Returns (packed int32 [budget], stats int32 [F, 2C+1]) with F = P//n − 1:
+    Returns ONE int32 array [F·(2C+1) + budget] with F = P//n − 1 so the
+    host needs a single device→host transfer per segment, prefix-sliced to
+    what it actually needs:
 
-      * packed[i] = (k << 16) | (q & 0xFFFF) — the kept (index, value)
-        pairs in frame-major, channel-major, ascending-k order (the .glc
-        stream order, codec.rs:462-541); only the first sum(nnz) entries
-        are meaningful.  One array → one link transfer.
-      * stats[:, :C] = per-channel nnz, stats[:, C:2C] = bitcast f32 scales,
-        stats[:, 2C] = use_raw flag.
+      * [0 : F·(2C+1)] — per-frame stats rows: [:, :C] nnz, [:, C:2C]
+        bitcast f32 scales, [:, 2C] use_raw flag.
+      * [F·(2C+1) :]  — packed pairs: (k << 16) | (q & 0xFFFF), the kept
+        (index, value) pairs in frame-major, channel-major, ascending-k
+        order (the .glc stream order, codec.rs:462-541); only the first
+        sum(nnz) entries are meaningful.
 
     Frames that chose the raw-PCM fallback contribute no pairs (their nnz
     is reported as 0).  If sum(nnz) > budget the caller must fall back to
@@ -229,7 +231,7 @@ def encode_signal_device(
         ],
         axis=1,
     )
-    return packed, stats
+    return jnp.concatenate([stats.reshape(-1), packed])
 
 
 @partial(

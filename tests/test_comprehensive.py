@@ -85,3 +85,31 @@ def test_amplitude_consistency():
     energy_recon = float(np.mean(np.square(decoded, dtype=np.float64)))
     rms_variation = abs(np.sqrt(energy_recon) - np.sqrt(energy_orig)) / np.sqrt(energy_orig)
     assert rms_variation < 0.05, f"Amplitude variation too high: {rms_variation:.4f}"
+
+
+@pytest.mark.parametrize("rate", [8000, 22050, 96000])
+def test_uncommon_sample_rates(rate):
+    """The perceptual band structure adapts to any rate (codec.rs:146-183)."""
+    samples = generate_sine_wave(440.0, rate, 1, 0.5)
+    snr, n = run_single_test(samples, rate, 1)
+    assert n == len(samples)
+    assert snr > -10.0, f"SNR too low at {rate} Hz: {snr} dB"
+
+
+def test_four_channel_audio():
+    """Arbitrary channel counts deinterleave like the reference
+    (codec.rs:427-431)."""
+    base = generate_sine_wave(440.0, 44100, 1, 0.5)
+    C = 4
+    samples = np.empty(len(base) * C, np.float32)
+    for c in range(C):
+        samples[c::C] = base * np.float32(0.5 + 0.1 * c)
+    encoded = Encoder(44100).encode(samples, C)
+    decoded = Decoder(C, 44100).decode(encoded)
+    assert len(decoded) == len(samples)
+    # Q1: the trim drops 512 interleaved = 128 per channel, leaving a
+    # residual delay of 512−128 = 384 per channel (1536 interleaved);
+    # shift-compensated SNR must be high
+    shift = (512 - 512 // C) * C
+    snr = calculate_snr(samples[:-shift], decoded[shift:])
+    assert snr > 15.0, f"4ch shift-compensated SNR: {snr}"

@@ -123,3 +123,19 @@ def test_order_helpers_match_native():
             assert po_py == lib.glc_flac_predictor_order(bs, level)
             part_py = bitpack.partition_order(bs, po_py, level)
             assert part_py == lib.glc_flac_partition_order(bs, po_py, level)
+
+
+def test_flac_four_channels():
+    """FLAC multichannel: independent channel assignment code = channels-1
+    (flac.rs:821-833), round-tripped through the native decoder."""
+    base = generate_sine_wave(330.0, 44100, 1, 0.5)
+    C = 4
+    interleaved = np.empty(len(base) * C, np.float32)
+    for c in range(C):
+        interleaved[c::C] = base * np.float32(0.4 + 0.1 * c)
+    data = encode_flac_with_level(interleaved, 44100, C, 5)
+    decoded, r, ch, b = decode_flac(data)
+    assert (r, ch, b) == (44100, C, 16)
+    np.testing.assert_array_equal(
+        decoded, convert_f32_to_i16(interleaved).astype(np.int32)
+    )
