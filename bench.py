@@ -80,6 +80,42 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Diagnostic: device-compute-only realtime factor (data resident in
+    # HBM, no host link).  Shows the architecture's headroom — off-chip the
+    # host↔device link, not the MXU, is the binding constraint.
+    try:
+        import jax
+
+        from glc_tpu.codec.encoder import frame_signal
+        from glc_tpu.ops.encode import encode_signal_device
+
+        tb = enc._tables
+        tables = (tb.cos_table, tb.window, tb.norm, tb.band_mask,
+                  tb.band_inv_count, tb.band_pf, tb.band_of, tb.inv_w)
+        padded, F, _, _ = frame_signal(samples, 2, enc.config, np.int16)
+        seg = np.zeros((2, 4097 * 1024), np.int16)
+        seg[:, : padded.shape[1]] = padded[:, : 4097 * 1024]
+        seg_dev = jax.device_put(seg)
+        budget = 4096 * 2 * 1024 // 8
+        out = encode_signal_device(seg_dev, *tables, budget=budget,
+                                   pcm16=True)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        iters = 20
+        for _ in range(iters):
+            out = encode_signal_device(seg_dev, *tables, budget=budget,
+                                       pcm16=True)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        print(
+            f"# device-compute-only: {dt*1000:.2f} ms for {duration_s:.0f}s "
+            f"stereo = {duration_s/dt:.0f}x realtime on-chip",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# device-compute-only diagnostic failed: {e}",
+              file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

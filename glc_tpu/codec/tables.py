@@ -6,7 +6,6 @@ from functools import lru_cache
 from typing import NamedTuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops.mdct import get_mdct_tables

@@ -18,7 +18,6 @@ Launched by `glc` with no arguments when a display is available
 
 from __future__ import annotations
 
-import queue
 import threading
 from pathlib import Path
 from typing import List, Optional
@@ -201,6 +200,35 @@ def run_gui() -> int:
     def stop_playing():
         state.stop_playback.set()
 
+    def test_audio_device():
+        """ui.rs:406-469 — play an arbitrary FLAC to check the audio path."""
+        name = filedialog.askopenfilename(
+            filetypes=[("FLAC", "*.flac"), ("All files", "*.*")]
+        )
+        if not name:
+            return
+
+        def work():
+            from .flac.decoder import read_flac
+            from .playback import FfplaySink, ffplay_available
+
+            try:
+                if not ffplay_available():
+                    state.set_status("No audio backend (install ffplay)")
+                    return
+                samples, rate, ch = read_flac(name)
+                state.set_status(f"Testing device with {Path(name).name}")
+                sink = FfplaySink(rate, ch)
+                try:
+                    sink.write(samples)
+                finally:
+                    sink.close()
+                state.set_status("Device test finished")
+            except Exception as e:
+                state.set_status("Device test error", str(e))
+
+        threading.Thread(target=work, daemon=True).start()
+
     def export_playlist():
         """ui.rs:291-402 — decode all, concatenate, single FLAC export."""
         files = list(playlist)
@@ -253,6 +281,8 @@ def run_gui() -> int:
              variable=level_var).pack(side="left")
     ttk.Button(row3, text="Export playlist → FLAC",
                command=export_playlist).pack(side="left", padx=8)
+    ttk.Button(row1, text="Test audio device...",
+               command=test_audio_device).pack(side="left", padx=8)
 
     def poll():
         """100 ms repaint loop (ui.rs:475-478)."""
