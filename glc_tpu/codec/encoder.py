@@ -103,7 +103,14 @@ class Encoder:
 
     def encode(self, samples: np.ndarray, channels: int) -> EncodedAudio:
         """Encode interleaved float32 PCM (codec.rs:421-565)."""
-        return self._encode_impl(samples, channels, pcm16=False)
+        samples = np.asarray(samples)
+        if np.issubdtype(samples.dtype, np.integer):
+            raise TypeError(
+                "encode() expects float PCM in [-1, 1]; for 16-bit integer "
+                "sources use encode_pcm16() (exact, half the upload)"
+            )
+        return self._encode_impl(samples.astype(np.float32, copy=False),
+                                 channels, pcm16=False)
 
     def encode_pcm16(self, samples_i16: np.ndarray, channels: int) -> EncodedAudio:
         """Exact fast path for 16-bit integer sources.

@@ -110,3 +110,20 @@ def test_play_no_args():
 
 def test_play_missing_file(tmp_path):
     assert main(["-p", str(tmp_path / "x.glc")]) == 1
+
+
+def test_encode_float_wav_input(tmp_path):
+    """Float32 WAVs take the f32 (non-pcm16) encode path."""
+    import struct
+    from utils import generate_sine_wave
+    samples = generate_sine_wave(440.0, 44100, 1, 0.5)
+    payload = samples.astype("<f4").tobytes()
+    header = b"".join([
+        b"RIFF", struct.pack("<I", 36 + len(payload)), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 3, 1, 44100, 44100 * 4, 4, 32),
+        b"data", struct.pack("<I", len(payload)),
+    ])
+    p = tmp_path / "f32.wav"
+    p.write_bytes(header + payload)
+    assert main([str(p)]) == 0
+    assert (tmp_path / "f32.glc").exists()

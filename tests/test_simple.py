@@ -56,3 +56,17 @@ def test_various_durations(duration):
     samples = generate_sine_wave(440.0, 44100, 1, duration)
     _, decoded = roundtrip(samples, 44100, 1)
     assert len(decoded) == len(samples)
+
+
+def test_tiny_input_single_frame():
+    """100 samples → one frame; exact length through the trim."""
+    samples = generate_sine_wave(440.0, 44100, 1, 1.0)[:100].copy()
+    encoded, decoded = roundtrip(samples, 44100, 1)
+    assert len(encoded.frames) == 1
+    assert len(decoded) == 100
+
+
+def test_integer_input_rejected():
+    from glc_tpu import Encoder
+    with pytest.raises(TypeError):
+        Encoder(44100).encode(np.zeros(1000, np.int16), 1)
