@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -227,6 +228,93 @@ extern "C" int32_t glc_flac_partition_order(int32_t block_size,
 // Orders must equal glc_flac_predictor_order / glc_flac_partition_order.
 // ---------------------------------------------------------------------------
 
+namespace {
+
+// Pack one FLAC frame into its own writer.  Frames are byte-aligned and
+// independent (CRCs cover only the frame's own bytes), so they parallelize
+// across threads — the native-runtime counterpart of the reference's rayon
+// frame loop.
+void pack_one_frame(BitWriter& w, const int16_t* samples, int64_t sample_off,
+                    int32_t channels, uint32_t sample_rate, int32_t level,
+                    int f, int bs, const int32_t* res_base,
+                    const int8_t* rp_base) {
+  const int bps = 16;
+  size_t frame_start = w.byte_len();
+
+  w.write_bits(0x3FFE, 14);
+  w.write_bits(0, 1);
+  w.write_bits(0, 1);
+  int bsb = block_size_bits(bs);
+  w.write_bits((uint64_t)bsb, 4);
+  w.write_bits((uint64_t)sample_rate_bits(sample_rate), 4);
+  uint32_t chan_bits = channels == 1 ? 0b0000
+                       : channels == 2 ? 0b0001
+                                       : (uint32_t)(channels - 1);
+  w.write_bits(chan_bits, 4);
+  w.write_bits(0b100, 3);
+  w.write_bits(0, 1);
+  write_utf8_number(w, (uint64_t)f);
+  if (bsb == 0b0110) w.write_bits((uint64_t)(bs - 1), 8);
+  else if (bsb == 0b0111) w.write_bits((uint64_t)(bs - 1), 16);
+  w.write_bits(crc8(w.buf.data() + frame_start, w.byte_len() - frame_start),
+               8);
+
+  int order = glc_flac_predictor_order(bs, level);
+  int po = glc_flac_partition_order(bs, order, level);
+  int num_partitions = 1 << po;
+
+  for (int c = 0; c < channels; c++) {
+    w.write_bits(0, 1);
+    if (order == 0) w.write_bits(0b000001, 6);
+    else w.write_bits(0b001000 | (uint32_t)order, 6);
+    w.write_bits(0, 1);
+
+    if (order == 0) {
+      for (int i = 0; i < bs; i++)
+        w.write_bits(
+            (uint64_t)(uint16_t)samples[sample_off + (int64_t)i * channels + c],
+            bps);
+    } else {
+      for (int i = 0; i < order; i++)
+        w.write_bits(
+            (uint64_t)(uint16_t)samples[sample_off + (int64_t)i * channels + c],
+            bps);
+      const int32_t* res = res_base + (int64_t)c * bs + order;
+      const int8_t* rp = rp_base + (int64_t)c * num_partitions;
+      w.write_bits(0, 2);
+      w.write_bits((uint64_t)po, 4);
+      int dps = bs >> po;
+      int64_t idx = 0;
+      for (int p = 0; p < num_partitions; p++) {
+        int ps = p == 0 ? dps - order : dps;
+        if (ps == 0) continue;
+        int k = rp[p];
+        w.write_bits((uint64_t)k, 4);
+        uint32_t mask = k > 0 ? ((1u << k) - 1) : 0;
+        for (int i = 0; i < ps; i++) {
+          int32_t s = res[idx++];
+          uint32_t folded = s >= 0 ? ((uint32_t)s << 1)
+                                   : ((((uint32_t)(-(s + 1))) << 1) | 1);
+          uint32_t msb = folded >> k;
+          int len = (int)msb + 1 + k;
+          if (len <= 32) {
+            w.write_bits((1ull << k) | (folded & mask), len);
+          } else {
+            w.write_unary(msb);
+            if (k > 0) w.write_bits(folded & mask, k);
+          }
+        }
+      }
+    }
+  }
+
+  w.byte_align();
+  uint16_t c16 = crc16(w.buf.data() + frame_start, w.byte_len() - frame_start);
+  w.write_bits(c16, 16);
+}
+
+}  // namespace
+
 extern "C" int64_t glc_flac_pack(
     const int16_t* samples, int64_t n_total, int32_t channels,
     uint32_t sample_rate, int32_t level, const uint8_t* md5,
@@ -255,93 +343,60 @@ extern "C" int64_t glc_flac_pack(
   w.write_bits((uint64_t)(n_total / channels), 36);
   for (int i = 0; i < 16; i++) w.write_bits(md5[i], 8);
 
-  std::vector<int32_t> chan(0);
-  int64_t sample_off = 0;   // interleaved offset
-  const int32_t* res_ptr = residuals;
-  const int8_t* rp_ptr = rice_params;
-
-  for (int f = 0; f < num_frames; f++) {
-    int bs = block_sizes[f];
-    size_t frame_start = w.byte_len();
-
-    // Frame header (reference flac.rs:759-871)
-    w.write_bits(0x3FFE, 14);  // sync
-    w.write_bits(0, 1);        // reserved
-    w.write_bits(0, 1);        // fixed block size strategy
-    int bsb = block_size_bits(bs);
-    w.write_bits((uint64_t)bsb, 4);
-    w.write_bits((uint64_t)sample_rate_bits(sample_rate), 4);
-    uint32_t chan_bits = channels == 1 ? 0b0000
-                         : channels == 2 ? 0b0001
-                                         : (uint32_t)(channels - 1);
-    w.write_bits(chan_bits, 4);
-    w.write_bits(0b100, 3);  // 16-bit sample size
-    w.write_bits(0, 1);      // reserved
-    write_utf8_number(w, (uint64_t)f);
-    if (bsb == 0b0110) w.write_bits((uint64_t)(bs - 1), 8);
-    else if (bsb == 0b0111) w.write_bits((uint64_t)(bs - 1), 16);
-
-    // header CRC-8 (header is byte-aligned here)
-    w.write_bits(crc8(w.buf.data() + frame_start, w.byte_len() - frame_start),
-                 8);
-
-    int order = glc_flac_predictor_order(bs, level);
-    int po = glc_flac_partition_order(bs, order, level);
-    int num_partitions = 1 << po;
-
-    for (int c = 0; c < channels; c++) {
-      // Subframe header (reference flac.rs:702-720)
-      w.write_bits(0, 1);
-      if (order == 0) w.write_bits(0b000001, 6);  // verbatim
-      else w.write_bits(0b001000 | (uint32_t)order, 6);
-      w.write_bits(0, 1);  // no wasted bits
-
-      if (order == 0) {
-        for (int i = 0; i < bs; i++)
-          w.write_bits((uint64_t)(uint16_t)samples[sample_off + (int64_t)i * channels + c],
-                       bps);
-      } else {
-        for (int i = 0; i < order; i++)
-          w.write_bits((uint64_t)(uint16_t)samples[sample_off + (int64_t)i * channels + c],
-                       bps);
-        // Partitioned Rice residual (reference flac.rs:586-684).
-        const int32_t* res = res_ptr + (int64_t)c * bs + order;
-        const int8_t* rp = rp_ptr + (int64_t)c * num_partitions;
-        w.write_bits(0, 2);                  // method: 4-bit Rice
-        w.write_bits((uint64_t)po, 4);
-        int dps = bs >> po;
-        int64_t idx = 0;
-        for (int p = 0; p < num_partitions; p++) {
-          int ps = p == 0 ? dps - order : dps;
-          if (ps == 0) continue;
-          int k = rp[p];
-          w.write_bits((uint64_t)k, 4);
-          uint32_t mask = k > 0 ? ((1u << k) - 1) : 0;
-          for (int i = 0; i < ps; i++) {
-            int32_t s = res[idx++];
-            uint32_t folded = s >= 0 ? ((uint32_t)s << 1)
-                                     : ((((uint32_t)(-(s + 1))) << 1) | 1);
-            w.write_unary(folded >> k);
-            if (k > 0) w.write_bits(folded & mask, k);
-          }
-        }
-      }
+  (void)bps;
+  // Precompute per-frame offsets (deterministic from block sizes/level)
+  std::vector<int64_t> s_off(num_frames), r_off(num_frames), p_off(num_frames);
+  {
+    int64_t so = 0, ro = 0, po_off = 0;
+    for (int f = 0; f < num_frames; f++) {
+      int bs = block_sizes[f];
+      s_off[f] = so;
+      r_off[f] = ro;
+      p_off[f] = po_off;
+      int order = glc_flac_predictor_order(bs, level);
+      int po = glc_flac_partition_order(bs, order, level);
+      so += (int64_t)bs * channels;
+      ro += (int64_t)bs * channels;
+      po_off += (int64_t)(1 << po) * channels;
     }
-
-    w.byte_align();
-    uint16_t c16 = crc16(w.buf.data() + frame_start, w.byte_len() - frame_start);
-    w.write_bits(c16, 16);
-
-    sample_off += (int64_t)bs * channels;
-    res_ptr += (int64_t)bs * channels;
-    rp_ptr += (int64_t)num_partitions * channels;
   }
 
-  uint8_t* p = (uint8_t*)std::malloc(w.buf.size());
+  // Frames are byte-aligned and self-contained → pack them in parallel
+  // (the reference's rayon frame parallelism, flac.rs has none but
+  // codec.rs:462 sets the pattern), then concatenate in order.
+  std::vector<BitWriter> frames((size_t)num_frames);
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = (int)(hw ? (hw < 16 ? hw : 16) : 1);
+  if (num_frames < 2 * T) T = 1;
+
+  auto work = [&](int t) {
+    for (int f = t; f < num_frames; f += T)
+      pack_one_frame(frames[(size_t)f], samples, s_off[f], channels,
+                     sample_rate, level, f, block_sizes[f],
+                     residuals + r_off[f], rice_params + p_off[f]);
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve((size_t)T);
+    for (int t = 0; t < T; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+
+  int64_t total = (int64_t)w.buf.size();
+  for (auto& fw : frames) total += (int64_t)fw.buf.size();
+  uint8_t* p = (uint8_t*)std::malloc((size_t)total);
   if (!p) return -2;
-  std::memcpy(p, w.buf.data(), w.buf.size());
+  uint8_t* dst = p;
+  std::memcpy(dst, w.buf.data(), w.buf.size());
+  dst += w.buf.size();
+  for (auto& fw : frames) {
+    std::memcpy(dst, fw.buf.data(), fw.buf.size());
+    dst += fw.buf.size();
+  }
   *out = p;
-  *out_len = (int64_t)w.buf.size();
+  *out_len = total;
   return 0;
 }
 
