@@ -20,11 +20,14 @@ import jax as _jax
 
 # Persistent XLA compilation cache: CLI invocations are separate processes,
 # and TPU (re)compilation — especially via a remote-compile service — costs
-# tens of seconds per shape.  Opt out with GLC_JAX_CACHE=off.  Skipped on
-# CPU: XLA:CPU AOT artifacts are machine-feature-pinned and reloading them
-# on a different host risks SIGILL.
+# tens of seconds per shape.  Opt out with GLC_JAX_CACHE=off.  Enabled only
+# when a non-CPU platform is explicitly selected: XLA:CPU AOT artifacts are
+# machine-feature-pinned and reloading them on a different host risks
+# SIGILL, and probing the real backend here would trigger device init at
+# import time.
 _cache_dir = _os.environ.get("GLC_JAX_CACHE", "~/.cache/glc_tpu/jax_cache")
-if _cache_dir != "off" and _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+_platforms = _os.environ.get("JAX_PLATFORMS", "").lower()
+if _cache_dir != "off" and _platforms not in ("", "cpu"):
     try:
         _jax.config.update(
             "jax_compilation_cache_dir", _os.path.expanduser(_cache_dir)

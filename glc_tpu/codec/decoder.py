@@ -31,6 +31,11 @@ from .tables import chunk_size_for, get_device_tables
 ProgressSender = Callable[[Progress], None]
 
 
+class _Cancelled(Exception):
+    """Raised inside the producer thread when the consumer abandoned the
+    stream (rx.cancelled set)."""
+
+
 def _pow2_bucket(count: int, cap: int) -> int:
     b = 16
     while b < count and b < cap:
@@ -58,7 +63,9 @@ def _sparse_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
 
     pair_start = int(fs.nnz[:start].sum())
     P = int(nnz.sum())
-    budget = _pow2_bucket(P, max(P, 16))
+    # power-of-two upload shapes, capped at the dense maximum — keeps the
+    # set of compiled decode programs O(log), not one per pair count
+    budget = _pow2_bucket(P, K * C * n)
     pos = np.full(budget, K * C * n, np.int32)
     vals = np.zeros(budget, np.int16)
     if P:
@@ -75,7 +82,7 @@ def _sparse_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     is_raw[:count] = is_raw_v
 
     R = int(is_raw_v.sum())
-    rbudget = _pow2_bucket(R, max(R, 1))
+    rbudget = _pow2_bucket(R, K)
     raw_rows = np.zeros((rbudget, C, frame_size), np.int16)
     raw_idx = np.full(rbudget, K, np.int32)
     if R:
@@ -124,13 +131,49 @@ class Decoder:
         codec.rs:744-768).
         """
         rx: "queue.Queue[AudioChunk]" = queue.Queue(maxsize=5)
+        # Consumers that abandon the stream early set this so the producer
+        # thread exits instead of blocking forever on the bounded queue
+        # (the crossbeam analog: rx dropped → send errors → thread exits).
+        rx.cancelled = threading.Event()  # type: ignore[attr-defined]
         t = threading.Thread(
-            target=self._produce,
+            target=self._produce_safe,
             args=(encoded, rx, progress_sender),
             daemon=True,
         )
         t.start()
         return rx
+
+    def _produce_safe(self, encoded, rx, progress_sender):
+        try:
+            self._produce(encoded, rx, progress_sender)
+        except _Cancelled:
+            pass
+        except Exception as e:  # surface the failure instead of hanging rx
+            if progress_sender is not None:
+                try:
+                    progress_sender(Progress.error(str(e)))
+                except Exception:
+                    pass
+            try:
+                rx.put(
+                    AudioChunk(samples=np.empty(0, np.float32), is_last=True,
+                               error=str(e)),
+                    timeout=1.0,
+                )
+            except queue.Full:
+                pass
+
+    @staticmethod
+    def _put(rx, chunk) -> None:
+        """Bounded put that gives up when the consumer cancelled."""
+        while True:
+            if getattr(rx, "cancelled", None) is not None and rx.cancelled.is_set():
+                raise _Cancelled()
+            try:
+                rx.put(chunk, timeout=0.25)
+                return
+            except queue.Full:
+                continue
 
     def _produce(self, encoded, rx, progress_sender):
         cfg = self.config
@@ -159,7 +202,7 @@ class Decoder:
             nonlocal emitted
             # interleave [Kf, C, n] -> flat [Kf*n*C]
             flat = hops_concat.transpose(0, 2, 1).reshape(-1)
-            rx.put(AudioChunk(samples=flat, is_last=False))
+            self._put(rx, AudioChunk(samples=flat, is_last=False))
             emitted += frames_needed
 
         for start in range(0, F, chunk):
@@ -206,7 +249,7 @@ class Decoder:
             last = np.concatenate([flat, tail.reshape(-1)])
         else:
             last = tail.reshape(-1)
-        rx.put(AudioChunk(samples=last, is_last=True))
+        self._put(rx, AudioChunk(samples=last, is_last=True))
 
         send(
             Progress.complete(
@@ -290,6 +333,8 @@ class Decoder:
         parts = []
         while True:
             chunk = rx.get()
+            if chunk.error is not None:
+                raise RuntimeError(f"decode failed: {chunk.error}")
             parts.append(chunk.samples)
             if chunk.is_last:
                 break

@@ -55,20 +55,31 @@ def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig,
     samples = np.asarray(samples, dtype)
     if channels <= 0:
         raise ValueError("channels must be >= 1")
-    if len(samples) % channels != 0:
-        raise ValueError(
-            f"interleaved sample count {len(samples)} not divisible by "
-            f"channels {channels}"
-        )
-    T = len(samples) // channels
-    x = samples.reshape(T, channels).T  # [C, T]
-
     lead = hop // 2
-    rem = (lead + T) % hop
-    mid_pad = (hop - rem) if rem else 0
-    P = lead + T + mid_pad + lead
+
+    def padded_len(t: int) -> int:
+        rem = (lead + t) % hop
+        return lead + t + ((hop - rem) if rem else 0) + lead
+
+    # The reference deinterleaves by i % ch (codec.rs:427-431), so a ragged
+    # interleaved count is accepted: early channels get one extra sample.
+    # Frame count comes from channel 0's padded length (codec.rs:449-455);
+    # if a shorter channel pads to a smaller length the reference's frame
+    # slicing would panic — we reject that input explicitly.
+    T = (len(samples) + channels - 1) // channels  # channel-0 length
+    P = padded_len(T)
     padded = np.zeros((channels, P), dtype)
-    padded[:, lead : lead + T] = x
+    if len(samples) % channels == 0:
+        padded[:, lead : lead + T] = samples.reshape(T, channels).T
+    else:
+        for c in range(channels):
+            ch_data = samples[c::channels]
+            if padded_len(len(ch_data)) < P:
+                raise ValueError(
+                    "ragged interleaved input where channel lengths pad to "
+                    "different sizes (the reference panics on this input)"
+                )
+            padded[c, lead : lead + len(ch_data)] = ch_data
 
     num_frames = 1 if P < frame else (P - frame) // hop + 1
     padding = P - T - lead  # codec.rs:546

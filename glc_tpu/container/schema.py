@@ -286,7 +286,13 @@ class Progress:
 
 @dataclass
 class AudioChunk:
-    """reference src/codec.rs:81-85"""
+    """reference src/codec.rs:81-85.
+
+    ``error`` is a rebuild extension: when the producer thread fails, the
+    final chunk carries the error message (the crossbeam-channel analog is
+    the sender being dropped on panic, which the consumer sees as a closed
+    channel)."""
 
     samples: np.ndarray  # float32, interleaved if multichannel
     is_last: bool
+    error: Optional[str] = None

@@ -22,17 +22,8 @@ class WavError(ValueError):
     pass
 
 
-def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int, int]:
-    """Read a WAV file → (interleaved float32 samples, sample_rate, channels).
-
-    Matches hound's normalization as used by the reference loader
-    (audio.rs:44-61): float data passes through; integer data is divided by
-    2^(bits-1).
-    """
-    data = Path(path).read_bytes()
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise WavError(f"not a RIFF/WAVE file: {path}")
-
+def _scan_chunks(data: bytes):
+    """RIFF chunk walk → (fmt_body, data_body); None for a missing chunk."""
     fmt = None
     raw = None
     pos = 12
@@ -45,16 +36,37 @@ def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int, int]:
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return fmt, raw
 
-    if fmt is None or raw is None:
-        raise WavError("missing fmt or data chunk")
 
+def _parse_fmt(fmt: bytes):
+    """fmt chunk → (audio_format, channels, sample_rate, bits_per_sample),
+    resolving WAVE_FORMAT_EXTENSIBLE to its SubFormat code."""
     (audio_format, channels, sample_rate, _byte_rate, _block_align,
      bits_per_sample) = struct.unpack_from("<HHIIHH", fmt, 0)
     if audio_format == WAVE_FORMAT_EXTENSIBLE:
-        if len(fmt) < 40:
+        if len(fmt) < 26:
             raise WavError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
         (audio_format,) = struct.unpack_from("<H", fmt, 24)  # SubFormat GUID
+    return audio_format, channels, sample_rate, bits_per_sample
+
+
+def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int, int]:
+    """Read a WAV file → (interleaved float32 samples, sample_rate, channels).
+
+    Matches hound's normalization as used by the reference loader
+    (audio.rs:44-61): float data passes through; integer data is divided by
+    2^(bits-1).
+    """
+    data = Path(path).read_bytes()
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavError(f"not a RIFF/WAVE file: {path}")
+
+    fmt, raw = _scan_chunks(data)
+    if fmt is None or raw is None:
+        raise WavError("missing fmt or data chunk")
+
+    audio_format, channels, sample_rate, bits_per_sample = _parse_fmt(fmt)
 
     if audio_format == WAVE_FORMAT_IEEE_FLOAT:
         if bits_per_sample == 32:
@@ -99,24 +111,13 @@ def read_wav_pcm16(path: Union[str, Path]):
     data = Path(path).read_bytes()
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
-    fmt = None
-    raw = None
-    pos = 12
-    while pos + 8 <= len(data):
-        cid = data[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", data, pos + 4)
-        body = data[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            fmt = body
-        elif cid == b"data":
-            raw = body
-        pos += 8 + size + (size & 1)
+    fmt, raw = _scan_chunks(data)
     if fmt is None or raw is None:
         return None
-    (audio_format, channels, sample_rate, _br, _ba,
-     bits) = struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_format == WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:
-        (audio_format,) = struct.unpack_from("<H", fmt, 24)
+    try:
+        audio_format, channels, sample_rate, bits = _parse_fmt(fmt)
+    except WavError:
+        return None
     if audio_format != WAVE_FORMAT_PCM or bits != 16:
         return None
     return np.frombuffer(raw, "<i2"), int(sample_rate), int(channels)

@@ -8,11 +8,12 @@ surrounding elementwise work into the matmul so intermediate tensors
   The 8 MB cosine table stays resident in VMEM across a grid of frame tiles,
   each tile streaming [TILE_B, 2N] samples through the MXU.
 
-Numerics: f32 matmul with preferred_element_type=f32 (MXU multi-pass), same
-operands as the XLA path; accumulation order may differ by ULPs, so the
-kernel is cross-checked against the XLA path with tight tolerances and is
-opt-in for the container pipeline (CodecConfig.use_pallas, default off) to
-keep byte-level determinism of .glc output across code paths.
+Numerics: f32 matmuls at Precision.HIGHEST (without it Mosaic lowers the
+operands to bf16 on the MXU — 2e-3 error; with it the kernels match the XLA
+path within ~5e-7).  Accumulation order still differs by ULPs from the XLA
+einsum, so these kernels are standalone (exercised by tests and benchmarks,
+not wired into the container pipeline) to keep byte-level determinism of
+.glc output across code paths; the XLA path remains the production default.
 
 Falls back to interpret mode on CPU (tests run there).
 """

@@ -121,13 +121,19 @@ def play_file_with_ffplay(input_path: Path) -> None:
     decoder = Decoder(channels, sample_rate)
     rx = decoder.decode_streaming(encoded)
     chunks_sent = 0
-    while True:
-        chunk = rx.get()
-        chunks_sent += 1
-        if not sink.write(chunk.samples):
-            break
-        if chunk.is_last:
-            break
+    try:
+        while True:
+            chunk = rx.get()
+            if chunk.error is not None:
+                print(f"Error decoding: {chunk.error}", file=sys.stderr)
+                break
+            chunks_sent += 1
+            if not sink.write(chunk.samples):
+                break
+            if chunk.is_last:
+                break
+    finally:
+        rx.cancelled.set()
     print(f"Sent {chunks_sent} chunks to ffplay")
     if sink.close() == 0:
         print("Playback finished")
@@ -153,25 +159,41 @@ def play_files_gapless(file_paths: List[Path]) -> None:
               "-p --ffplay explicitly", file=sys.stderr)
         raise RuntimeError("Playback not available")
 
-    first = load_encoded(file_paths[0])
-    sink = FfplaySink(first.header.sample_rate, first.header.channels)
+    sink = None
+    sink_params = None
     try:
         for path in file_paths:
             print(f"Loading: {path.name!r}")
             encoded = load_encoded(path)
-            print(f"Queueing: {encoded.header.sample_rate} Hz, "
-                  f"{encoded.header.channels} channels")
-            decoder = Decoder(encoded.header.channels,
-                              encoded.header.sample_rate)
+            params = (encoded.header.sample_rate, encoded.header.channels)
+            print(f"Queueing: {params[0]} Hz, {params[1]} channels")
+            if params != sink_params:
+                # The reference's rodio resamples per source
+                # (main.rs:152-161); an ffplay pipe is fixed-format, so a
+                # rate/channel change restarts the sink (gapless joins are
+                # preserved within runs of matching formats).
+                if sink is not None:
+                    sink.close()
+                sink = FfplaySink(*params)
+                sink_params = params
+            decoder = Decoder(params[1], params[0])
             rx = decoder.decode_streaming(encoded)
-            while True:
-                chunk = rx.get()
-                if not sink.write(chunk.samples):
-                    return
-                if chunk.is_last:
-                    break
+            try:
+                while True:
+                    chunk = rx.get()
+                    if chunk.error is not None:
+                        print(f"Error decoding {path.name}: {chunk.error}",
+                              file=sys.stderr)
+                        return
+                    if not sink.write(chunk.samples):
+                        return
+                    if chunk.is_last:
+                        break
+            finally:
+                rx.cancelled.set()  # release the producer if we bailed early
         print(f"Playing {len(file_paths)} files gaplessly. "
               "Press Ctrl+C to stop.")
     finally:
-        sink.close()
+        if sink is not None:
+            sink.close()
     print("Playback finished")

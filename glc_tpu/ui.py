@@ -163,36 +163,46 @@ def run_gui() -> int:
             from .container.bincode import load_encoded
             from .playback import FfplaySink, ffplay_available
 
+            sink = None
+            sink_params = None
             try:
                 if not ffplay_available():
                     state.set_status("No audio backend (install ffplay)")
                     return
-                first = load_encoded(files[0])
-                sink = FfplaySink(first.header.sample_rate,
-                                  first.header.channels)
-                try:
-                    for path in files:
-                        if state.stop_playback.is_set():
-                            break
-                        encoded = load_encoded(path)
-                        state.set_status(f"Playing {path.name}")
-                        dec = Decoder(encoded.header.channels,
-                                      encoded.header.sample_rate)
-                        rx = dec.decode_streaming(encoded)
+                for path in files:
+                    if state.stop_playback.is_set():
+                        break
+                    encoded = load_encoded(path)
+                    params = (encoded.header.sample_rate,
+                              encoded.header.channels)
+                    if params != sink_params:
+                        if sink is not None:
+                            sink.close()
+                        sink = FfplaySink(*params)
+                        sink_params = params
+                    state.set_status(f"Playing {path.name}")
+                    dec = Decoder(params[1], params[0])
+                    rx = dec.decode_streaming(encoded)
+                    try:
                         while True:
                             chunk = rx.get()
+                            if chunk.error is not None:
+                                state.set_status("Decode error", chunk.error)
+                                return
                             if state.stop_playback.is_set():
                                 break
                             if not sink.write(chunk.samples):
                                 break
                             if chunk.is_last:
                                 break
-                finally:
-                    sink.close()
+                    finally:
+                        rx.cancelled.set()
                 state.set_status("Playback finished")
             except Exception as e:
                 state.set_status("Playback error", str(e))
             finally:
+                if sink is not None:
+                    sink.close()
                 state.playing = False
 
         threading.Thread(target=work, daemon=True).start()
@@ -289,6 +299,10 @@ def run_gui() -> int:
         with state.lock:
             status_var.set(state.status)
             detail_var.set(state.detail)
+        # sync the encoded-files listbox with results produced by worker
+        # threads (tkinter widgets must only be touched from this thread)
+        while enc_list.size() < len(encoded_files):
+            enc_list.insert("end", encoded_files[enc_list.size()].name)
         if state.encode_progress is not None:
             if not enc_progress.winfo_ismapped():
                 enc_progress.pack(fill="x")

@@ -70,3 +70,12 @@ def test_integer_input_rejected():
     from glc_tpu import Encoder
     with pytest.raises(TypeError):
         Encoder(44100).encode(np.zeros(1000, np.int16), 1)
+
+
+def test_ragged_interleaved_input():
+    """The reference deinterleaves by i % ch, accepting ragged interleaved
+    counts (codec.rs:427-431); length is preserved through the trim."""
+    samples = generate_sine_wave(440.0, 44100, 1, 1.2)[:44101].copy()
+    encoded, decoded = roundtrip(samples, 44100, 2)  # odd count, stereo
+    assert encoded.header.total_samples == 44101
+    assert len(decoded) == 44101
