@@ -127,3 +127,21 @@ def test_encode_float_wav_input(tmp_path):
     p.write_bytes(header + payload)
     assert main([str(p)]) == 0
     assert (tmp_path / "f32.glc").exists()
+
+
+def test_gui_module_importable():
+    """ui.py must import cleanly (it only touches tkinter inside run_gui)."""
+    import glc_tpu.ui
+    assert hasattr(glc_tpu.ui, "run_gui")
+
+
+def test_play_without_audio_backend(wav_file):
+    """-p with no ffplay in PATH → reference-style error + exit 1
+    (main.rs:181-198 stub semantics)."""
+    from glc_tpu.playback import ffplay_available
+    if ffplay_available():
+        import pytest
+        pytest.skip("ffplay present; cannot exercise the no-backend path")
+    main([str(wav_file)])
+    glc = wav_file.with_suffix(".glc")
+    assert main(["-p", str(glc)]) == 1
