@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import ctypes
 import hashlib
+import os
 from pathlib import Path
 from typing import Union
 
@@ -27,7 +28,14 @@ import numpy as np
 from ..io.audio import convert_f32_to_i16
 from ..native import get_native
 from . import bitpack
-from .ops import flac_block_stats, rice_params_from_sums
+from .ops import flac_block_stats, flac_block_stats_host, rice_params_from_sums
+
+# The fixed-predictor/Rice math is exact integer arithmetic; it runs on host
+# by default because the residual values must come back to the host for bit
+# packing anyway, and shipping them over a slow host↔device link costs far
+# more than the k-fold diff (the device kernel flac_block_stats is the same
+# math for device-resident data; set GLC_FLAC_DEVICE_MATH=1 to use it here).
+_USE_DEVICE_MATH = os.environ.get("GLC_FLAC_DEVICE_MATH") == "1"
 
 
 class FlacError(ValueError):
@@ -67,13 +75,16 @@ def _compute_frame_data(i16: np.ndarray, channels: int, level: int):
             rp_parts.append(np.zeros(Fg * C * (1 << po), np.int8))
             return
         flat = x_blocks.reshape(Fg * C, gbs)
-        res_full, lo, hi = flac_block_stats(
-            jax.device_put(flat), order=order, po=po
-        )
-        res_parts.append(np.asarray(res_full).reshape(-1))
-        params = rice_params_from_sums(
-            np.asarray(lo), np.asarray(hi), gbs, order, po
-        )
+        if _USE_DEVICE_MATH:
+            res_full, lo, hi = flac_block_stats(
+                jax.device_put(flat), order=order, po=po
+            )
+            res_full, lo, hi = (np.asarray(res_full), np.asarray(lo),
+                                np.asarray(hi))
+        else:
+            res_full, lo, hi = flac_block_stats_host(flat, order=order, po=po)
+        res_parts.append(res_full.reshape(-1))
+        params = rice_params_from_sums(lo, hi, gbs, order, po)
         rp_parts.append(params.reshape(-1))
 
     if F0 > 0:

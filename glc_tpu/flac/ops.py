@@ -51,6 +51,30 @@ def flac_block_stats(x: jnp.ndarray, *, order: int, po: int):
     return res_full, lo, hi
 
 
+def flac_block_stats_host(x: np.ndarray, *, order: int, po: int):
+    """Host (numpy) twin of `flac_block_stats` — identical integer results.
+
+    The FLAC math is exact integer arithmetic and bandwidth-bound, so when
+    the samples live on the host the k-fold diff is faster done in place
+    than shipped across the host↔device link and back (the residual VALUES
+    are needed host-side for bit packing either way).  The device kernel
+    remains the right choice when the blocks are already device-resident.
+    """
+    B, bs = x.shape
+    res = x
+    for _ in range(order):
+        res = res[:, 1:] - res[:, :-1]
+    res_full = np.zeros((B, bs), np.int32)
+    res_full[:, order:] = res
+
+    P = 1 << po
+    dps = bs >> po
+    parts = np.abs(res_full).reshape(B, P, dps)
+    lo = (parts & 0xFFFF).sum(axis=-1, dtype=np.int32)
+    hi = (parts >> 16).sum(axis=-1, dtype=np.int32)
+    return res_full, lo, hi
+
+
 def rice_params_from_sums(
     sums_lo: np.ndarray, sums_hi: np.ndarray, bs: int, order: int, po: int
 ) -> np.ndarray:

@@ -139,3 +139,19 @@ def test_flac_four_channels():
     np.testing.assert_array_equal(
         decoded, convert_f32_to_i16(interleaved).astype(np.int32)
     )
+
+
+def test_host_and_device_flac_stats_agree():
+    """flac_block_stats (device) and flac_block_stats_host (numpy) are the
+    same exact integer math."""
+    import jax
+    from glc_tpu.flac.ops import flac_block_stats, flac_block_stats_host
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(-32768, 32767, (16, 1152)).astype(np.int32)
+    for order, po in ((1, 0), (2, 2), (4, 4)):
+        rd, ld, hd = flac_block_stats(jax.device_put(x), order=order, po=po)
+        rh, lh, hh = flac_block_stats_host(x, order=order, po=po)
+        np.testing.assert_array_equal(np.asarray(rd), rh)
+        np.testing.assert_array_equal(np.asarray(ld), lh)
+        np.testing.assert_array_equal(np.asarray(hd), hh)

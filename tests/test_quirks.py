@@ -150,3 +150,23 @@ def test_round_half_away_matches_rust_semantics():
                          -0.0, 3.0, -3.0, 0.0], np.float32)
     got = np.asarray(jax.jit(round_half_away)(cases))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_out_of_range_coefficient_index_skipped():
+    """The reference skips sparse indices ≥ n at decode (codec.rs:661);
+    a foreign .glc with k=2000 must decode without error."""
+    from glc_tpu.container.schema import (
+        PAIR_DTYPE, AudioHeader, EncodedAudio, EncodedFrame, GaplessInfo,
+    )
+
+    pairs = np.array([(5, 1000), (2000, 5000)], PAIR_DTYPE)  # 2000 ≥ 1024
+    frame = EncodedFrame(
+        sparse_coeffs_per_channel=[pairs],
+        scale_factors=np.array([0.5], np.float32),
+    )
+    enc = EncodedAudio.from_frames(
+        AudioHeader(44100, 1, 1024), [frame], GaplessInfo(512, 0, 1024)
+    )
+    out = Decoder(1, 44100).decode(enc)
+    assert len(out) == 1024
+    assert np.isfinite(out).all()
