@@ -86,6 +86,7 @@ def _native_serialize(encoded: EncodedAudio):
         fs.num_frames,
         nnz.ctypes.data_as(c.POINTER(c.c_int64)),
         pairs.ctypes.data_as(c.POINTER(c.c_uint8)),
+        len(pairs) // 4,
         scales.ctypes.data_as(c.POINTER(c.c_float)),
         raw_mask.ctypes.data_as(c.POINTER(c.c_uint8)),
         raw_pcm.ctypes.data_as(c.POINTER(c.c_int16)),

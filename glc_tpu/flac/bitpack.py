@@ -221,10 +221,13 @@ def pack_stream(
                 idx = 0
                 for p in range(num_partitions):
                     ps = dps - order if p == 0 else dps
-                    if ps == 0:
-                        continue
+                    # a Rice parameter is written even for an empty first
+                    # partition (RFC 9639; the reference's skip emits
+                    # invalid FLAC — QUIRKS.md Q15)
                     k = int(rp[p])
                     w.write_bits(k, 4)
+                    if ps == 0:
+                        continue
                     for i in range(ps):
                         s = int(res[idx])
                         idx += 1

@@ -62,7 +62,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_uint32, c.c_uint16, c.c_uint64,           # header
         c.c_uint32, c.c_uint32, c.c_uint64,           # gapless
         c.c_int64,                                     # num_frames
-        c.POINTER(c.c_int64), c.POINTER(c.c_uint8),    # nnz, pairs
+        c.POINTER(c.c_int64),                          # nnz
+        c.POINTER(c.c_uint8), c.c_int64,               # pairs, pairs_len
         c.POINTER(c.c_float), c.POINTER(c.c_uint8),    # scales, raw_mask
         c.POINTER(c.c_int16), c.c_int64,               # raw_pcm, raw_len
         c.POINTER(c.POINTER(c.c_uint8)), c.POINTER(c.c_int64),

@@ -287,9 +287,13 @@ void pack_one_frame(BitWriter& w, const int16_t* samples, int64_t sample_off,
       int64_t idx = 0;
       for (int p = 0; p < num_partitions; p++) {
         int ps = p == 0 ? dps - order : dps;
-        if (ps == 0) continue;
+        // RFC 9639 requires a Rice parameter for EVERY partition, including
+        // an empty first partition (block_size == predictor order).  The
+        // reference skips it (flac.rs:632-638), emitting invalid FLAC its
+        // own claxon oracle rejects — fixed here (QUIRKS.md Q15).
         int k = rp[p];
         w.write_bits((uint64_t)k, 4);
+        if (ps == 0) continue;
         uint32_t mask = k > 0 ? ((1u << k) - 1) : 0;
         for (int i = 0; i < ps; i++) {
           int32_t s = res[idx++];
@@ -315,13 +319,25 @@ void pack_one_frame(BitWriter& w, const int16_t* samples, int64_t sample_off,
 
 }  // namespace
 
-extern "C" int64_t glc_flac_pack(
+namespace {
+
+int64_t flac_pack_impl(
     const int16_t* samples, int64_t n_total, int32_t channels,
     uint32_t sample_rate, int32_t level, const uint8_t* md5,
     const int32_t* block_sizes, int32_t num_frames,
     const int32_t* residuals, const int8_t* rice_params,
     uint8_t** out, int64_t* out_len) {
   if (channels < 1 || channels > 8 || level < 0 || level > 8) return -1;
+  // validate frame geometry before any buffer math (OOB reads otherwise)
+  {
+    int64_t covered = 0;
+    for (int f = 0; f < num_frames; f++) {
+      int bs = block_sizes[f];
+      if (bs < 1 || bs > 65535) return -3;
+      covered += (int64_t)bs * channels;
+    }
+    if (covered > n_total) return -4;
+  }
   const int bps = 16;
 
   BitWriter w;
@@ -398,6 +414,23 @@ extern "C" int64_t glc_flac_pack(
   *out = p;
   *out_len = total;
   return 0;
+}
+
+}  // namespace
+
+extern "C" int64_t glc_flac_pack(
+    const int16_t* samples, int64_t n_total, int32_t channels,
+    uint32_t sample_rate, int32_t level, const uint8_t* md5,
+    const int32_t* block_sizes, int32_t num_frames,
+    const int32_t* residuals, const int8_t* rice_params,
+    uint8_t** out, int64_t* out_len) {
+  try {
+    return flac_pack_impl(samples, n_total, channels, sample_rate, level,
+                          md5, block_sizes, num_frames, residuals,
+                          rice_params, out, out_len);
+  } catch (...) {
+    return -99;
+  }
 }
 
 extern "C" void glc_free(uint8_t* p) { std::free(p); }
@@ -609,6 +642,7 @@ extern "C" int64_t glc_container_serialize(
     int64_t num_frames,
     const int64_t* nnz,      // [F, C]
     const uint8_t* pairs,    // [K] 4-byte (u16 k, i16 q) records, stream order
+    int64_t pairs_len,       // K — bounds the pairs buffer
     const float* scales,     // [F, C]
     const uint8_t* raw_mask, // [F]
     const int16_t* raw_pcm,  // [R, L] rows for raw frames in order
@@ -623,11 +657,18 @@ extern "C" int64_t glc_container_serialize(
       total += 8 + 8 + 1 + 8 + 2 * raw_len;
     } else {
       int64_t fp = 0;
-      for (int64_t c = 0; c < C; c++) fp += nnz[f * C + c];
+      for (int64_t c = 0; c < C; c++) {
+        int64_t cnt = nnz[f * C + c];
+        if (cnt < 0) return -3;
+        fp += cnt;
+      }
       total += 8 + 8 * C + 4 * fp + 8 + 4 * C + 1;
       pair_total += fp;
     }
   }
+  // nnz must be consistent with the pairs buffer (the numpy fallback raises
+  // for this; the native path must not read out of bounds)
+  if (pair_total > pairs_len) return -4;
   uint8_t* buf = (uint8_t*)std::malloc((size_t)total);
   if (!buf) return -1;
   uint8_t* p = buf;
@@ -705,7 +746,8 @@ extern "C" int32_t glc_container_scan(
         if (p + 8 > end) return -3;
         uint64_t cnt;
         std::memcpy(&cnt, p, 8); p += 8;
-        if (p + 4 * (int64_t)cnt > end) return -3;
+        // division form: immune to signed-multiply overflow on huge counts
+        if (cnt > (uint64_t)(end - p) / 4) return -3;
         p += 4 * cnt;
         pairs += (int64_t)cnt;
       }
@@ -724,7 +766,7 @@ extern "C" int32_t glc_container_scan(
       if (*p++ != 1) return -7;
       uint64_t L;
       std::memcpy(&L, p, 8); p += 8;
-      if (p + 2 * (int64_t)L > end) return -3;
+      if (L > (uint64_t)(end - p) / 2) return -3;
       if (rlen < 0) rlen = (int64_t)L;
       else if (rlen != (int64_t)L) return -8;
       p += 2 * L;
@@ -785,12 +827,12 @@ extern "C" int32_t glc_container_fill(
   return p == end ? 0 : -1;
 }
 
-// Decode a whole FLAC stream.  Returns 0 on success; fills malloc'd
-// interleaved int32 samples (caller frees with glc_free on the cast pointer).
-extern "C" int32_t glc_flac_decode(const uint8_t* data, int64_t len,
-                                   int32_t** out_samples, int64_t* out_count,
-                                   uint32_t* out_rate, uint32_t* out_channels,
-                                   uint32_t* out_bps) {
+namespace {
+
+int32_t flac_decode_impl(const uint8_t* data, int64_t len,
+                         int32_t** out_samples, int64_t* out_count,
+                         uint32_t* out_rate, uint32_t* out_channels,
+                         uint32_t* out_bps) {
   if (len < 8 || std::memcmp(data, "fLaC", 4) != 0) return -1;
   int64_t pos = 4;
   uint32_t si_rate = 0, si_channels = 0, si_bps = 0;
@@ -822,8 +864,14 @@ extern "C" int32_t glc_flac_decode(const uint8_t* data, int64_t len,
   if (!have_si || si_rate == 0) return -3;
 
   std::vector<int32_t> out;
-  if (si_total > 0 && si_total < (1ULL << 40))
-    out.reserve((size_t)(si_total * si_channels));
+  // Pre-size from STREAMINFO, but bound by what the input could possibly
+  // encode (a 16-bit sample costs ≥1 bit even fully Rice-degenerate): a
+  // crafted header claiming 2^36 samples must not drive a huge reserve.
+  {
+    uint64_t claimed = si_total * si_channels;
+    uint64_t plausible = (uint64_t)len * 16 + 4096;
+    if (claimed > 0 && claimed <= plausible) out.reserve((size_t)claimed);
+  }
 
   std::vector<int64_t> ch_buf;
 
@@ -942,4 +990,22 @@ extern "C" int32_t glc_flac_decode(const uint8_t* data, int64_t len,
   *out_channels = si_channels;
   *out_bps = si_bps;
   return 0;
+}
+
+}  // namespace
+
+// Decode a whole FLAC stream.  Returns 0 on success; fills malloc'd
+// interleaved int32 samples (caller frees with glc_free on the cast
+// pointer).  Exceptions (e.g. bad_alloc on hostile headers) must not cross
+// the C ABI — they become error codes.
+extern "C" int32_t glc_flac_decode(const uint8_t* data, int64_t len,
+                                   int32_t** out_samples, int64_t* out_count,
+                                   uint32_t* out_rate, uint32_t* out_channels,
+                                   uint32_t* out_bps) {
+  try {
+    return flac_decode_impl(data, len, out_samples, out_count, out_rate,
+                            out_channels, out_bps);
+  } catch (...) {
+    return -99;
+  }
 }

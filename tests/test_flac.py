@@ -155,3 +155,40 @@ def test_host_and_device_flac_stats_agree():
         np.testing.assert_array_equal(np.asarray(rd), rh)
         np.testing.assert_array_equal(np.asarray(ld), lh)
         np.testing.assert_array_equal(np.asarray(hd), hh)
+
+
+def test_flac_last_block_equals_predictor_order():
+    """Regression (QUIRKS.md Q15): a last partial block whose size equals
+    the predictor order leaves the first partition empty; RFC 9639 still
+    requires its Rice parameter.  The reference skips it (flac.rs:632-638),
+    emitting invalid FLAC — we write it."""
+    for level, order in ((1, 1), (2, 2), (4, 3), (5, 4)):
+        bs = 1152 if level <= 2 else 4096
+        total = 2 * bs + order  # last block has exactly `order` samples
+        samples = generate_sine_wave(440.0, 44100, 1, 1.0)[:total]
+        data = encode_flac_with_level(samples, 44100, 1, level)
+        decoded, _, _, _ = decode_flac(data)
+        np.testing.assert_array_equal(
+            decoded, convert_f32_to_i16(samples).astype(np.int32)
+        )
+
+
+def test_flac_pack_rejects_bad_geometry():
+    """Native packer validates block sizes and sample coverage."""
+    import ctypes as c
+    from glc_tpu.native import get_native
+    lib = get_native()
+    i16 = np.zeros(100, np.int16)
+    md5 = bytes(16)
+    bsc = np.array([0], np.int32)  # invalid block size
+    res = np.zeros(0, np.int32)
+    rp = np.zeros(0, np.int8)
+    out = c.POINTER(c.c_uint8)(); out_len = c.c_int64()
+    rc = lib.glc_flac_pack(
+        i16.ctypes.data_as(c.POINTER(c.c_int16)), len(i16), 1, 44100, 0,
+        (c.c_uint8 * 16).from_buffer_copy(md5),
+        bsc.ctypes.data_as(c.POINTER(c.c_int32)), 1,
+        res.ctypes.data_as(c.POINTER(c.c_int32)),
+        rp.ctypes.data_as(c.POINTER(c.c_int8)),
+        c.byref(out), c.byref(out_len))
+    assert rc == -3

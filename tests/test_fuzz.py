@@ -92,3 +92,35 @@ def test_flac_truncations(flac_bytes):
             decode_flac(flac_bytes[: int(cut)])
         except FlacDecodeError:
             pass
+
+
+def test_flac_hostile_streaminfo_no_abort():
+    """A crafted STREAMINFO claiming 2^36-1 samples × 8 channels must not
+    abort the process via bad_alloc (exceptions stay behind the C ABI)."""
+    from glc_tpu.flac.bitpack import BitWriter
+    w = BitWriter()
+    w.write_bytes(b"fLaC")
+    w.write_bits(1, 1); w.write_bits(0, 7); w.write_bits(34, 24)
+    w.write_bits(16, 16); w.write_bits(16, 16)
+    w.write_bits(0, 24); w.write_bits(0, 24)
+    w.write_bits(44100, 20); w.write_bits(7, 3); w.write_bits(15, 5)
+    w.write_bits((1 << 36) - 1, 36)
+    w.write_bytes(b"\x00" * 16)
+    data = w.get_bytes()
+    # decodes to zero frames (no frame data) or errors — must not crash
+    try:
+        out, r, c, b = decode_flac(data)
+        assert len(out) == 0
+    except FlacDecodeError:
+        pass
+
+
+def test_glc_huge_count_overflow_rejected(glc_bytes):
+    """A nnz count near 2^62 must fail validation, not wrap the bounds
+    check (signed-overflow UB) and crash the parser."""
+    buf = bytearray(glc_bytes)
+    # first frame's channel-0 count field sits at offset 22+8
+    import struct
+    struct.pack_into("<Q", buf, 30, (1 << 62) + 10)
+    with pytest.raises(BincodeError):
+        deserialize_encoded(bytes(buf))
