@@ -205,6 +205,32 @@ class Decoder:
             self._put(rx, AudioChunk(samples=flat, is_last=False))
             emitted += frames_needed
 
+        # One-chunk dispatch lookahead: kick off device chunk i+1 before
+        # downloading chunk i so compute/upload overlap the download (the
+        # double-buffered host feeder of SURVEY.md §2.8).
+        inflight = None  # (hops_device, valid)
+
+        def drain(handle):
+            nonlocal pending_frames
+            hops_d, valid = handle
+            pending.append(np.asarray(hops_d)[:valid])
+            pending_frames += valid
+
+        def flush_full_chunks():
+            # Flush in exact 500-frame chunks, mirroring the per-frame
+            # accumulate-and-flush of codec.rs:706-717; progress uses the
+            # 0-based index of the frame that filled the chunk
+            # (codec.rs:710-714).
+            nonlocal pending, pending_frames
+            while pending_frames >= flush_frames:
+                buf = np.concatenate(pending) if len(pending) > 1 else pending[0]
+                out, rest = buf[:flush_frames], buf[flush_frames:]
+                pending = [rest] if len(rest) else []
+                pending_frames -= flush_frames
+                idx = emitted + flush_frames - 1
+                send(Progress.decoding(idx / F * 100.0))
+                emit(flush_frames, out)
+
         for start in range(0, F, chunk):
             valid = min(chunk, F - start)
             pos, vals, scales, raw_rows, raw_idx, is_raw = _sparse_slices(
@@ -225,21 +251,14 @@ class Decoder:
                 max_q=cfg.max_q,
                 window_raw=window_raw,
             )
-            pending.append(np.asarray(hops)[:valid])
-            pending_frames += valid
+            prev, inflight = inflight, (hops, valid)
+            if prev is not None:
+                drain(prev)
+                flush_full_chunks()
 
-            # Flush in exact 500-frame chunks, mirroring the per-frame
-            # accumulate-and-flush of codec.rs:706-717.
-            while pending_frames >= flush_frames:
-                buf = np.concatenate(pending) if len(pending) > 1 else pending[0]
-                out, rest = buf[:flush_frames], buf[flush_frames:]
-                pending = [rest] if len(rest) else []
-                pending_frames -= flush_frames
-                # progress uses the 0-based index of the frame that filled
-                # the chunk (codec.rs:710-714)
-                idx = emitted + flush_frames - 1
-                send(Progress.decoding(idx / F * 100.0))
-                emit(flush_frames, out)
+        if inflight is not None:
+            drain(inflight)
+            flush_full_chunks()
 
         # Final chunk: remaining frames + last overlap tail (codec.rs:722-732)
         tail = np.asarray(carry).T.reshape(1, -1)  # [1, n*C] interleaved
