@@ -170,3 +170,29 @@ def test_out_of_range_coefficient_index_skipped():
     out = Decoder(1, 44100).decode(enc)
     assert len(out) == 1024
     assert np.isfinite(out).all()
+
+
+def test_progress_protocol_sequence():
+    """The Progress protocol is part of the API surface (SURVEY.md §5):
+    Status("Starting streaming decode of N frames") → Decoding(pct) per
+    500-frame flush → Complete("Decoded N frames in X.XXs")."""
+    import re
+
+    from glc_tpu.container.schema import ProgressKind
+
+    samples = generate_sine_wave(440.0, 44100, 1, 12.0)  # 517 frames
+    encoded = Encoder(44100).encode(samples, 1)
+    F = len(encoded.frames)
+    assert F > 500
+
+    msgs = []
+    Decoder(1, 44100).decode(encoded, progress_sender=msgs.append)
+
+    assert msgs[0].kind == ProgressKind.STATUS
+    assert msgs[0].value == f"Starting streaming decode of {F} frames"
+    decoding = [m for m in msgs if m.kind == ProgressKind.DECODING]
+    assert len(decoding) == F // 500
+    # pct uses the 0-based index of the frame that filled the chunk
+    assert abs(decoding[0].value - 499 / F * 100.0) < 1e-6
+    assert msgs[-1].kind == ProgressKind.COMPLETE
+    assert re.fullmatch(rf"Decoded {F} frames in \d+\.\d\ds", msgs[-1].value)
