@@ -26,7 +26,7 @@ import numpy as np
 from ..config import CodecConfig, DEFAULT_CONFIG
 from ..container.schema import AudioChunk, EncodedAudio, FrameSet, Progress
 from ..ops.decode import decode_chunk_sparse_device
-from .tables import chunk_size_for, get_device_tables
+from .tables import chunk_size_for, get_device_tables, pow2_bucket
 
 ProgressSender = Callable[[Progress], None]
 
@@ -36,11 +36,7 @@ class _Cancelled(Exception):
     stream (rx.cancelled set)."""
 
 
-def _pow2_bucket(count: int, cap: int) -> int:
-    b = 16
-    while b < count and b < cap:
-        b *= 2
-    return min(b, cap)
+_pow2_bucket = pow2_bucket
 
 
 def _sparse_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
@@ -73,8 +69,22 @@ def _sparse_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
         flat_fc = np.repeat(np.arange(count * C), nnz.reshape(-1))
         kidx = pairs["k"].astype(np.int64)
         ok = kidx < n  # reference skips out-of-range indices (codec.rs:661)
-        pos[:P] = np.where(ok, flat_fc * n + kidx, K * C * n).astype(np.int32)
-        vals[:P] = pairs["q"]
+        p = np.where(ok, flat_fc * n + kidx, K * C * n).astype(np.int32)
+        v = pairs["q"].copy()
+        # The reference's sequential scatter is last-wins on duplicate
+        # indices (codec.rs:660-663); the device scatter is order-
+        # unspecified, so drop all but the last duplicate host-side.
+        # Well-formed streams are strictly increasing per (frame, channel),
+        # so the check is O(P) and the dedup path never runs for them.
+        if P > 1 and not (np.diff(p) > 0).all():
+            # first occurrence in the reversed stream == last in the original
+            _, first_rev = np.unique(p[::-1], return_index=True)
+            keep = np.zeros(P, bool)
+            keep[P - 1 - first_rev] = True
+            p = np.where(keep, p, K * C * n).astype(np.int32)
+            v = np.where(keep, v, 0)
+        pos[:P] = p
+        vals[:P] = v
 
     scales = np.zeros((K, C), np.float32)
     scales[:count] = fs.scales[start : start + count]
@@ -155,12 +165,14 @@ class Decoder:
                 except Exception:
                     pass
             try:
-                rx.put(
+                # must not be dropped: without a terminal chunk the consumer
+                # blocks forever (reference: crossbeam send blocks too)
+                self._put(
+                    rx,
                     AudioChunk(samples=np.empty(0, np.float32), is_last=True,
                                error=str(e)),
-                    timeout=1.0,
                 )
-            except queue.Full:
+            except _Cancelled:
                 pass
 
     @staticmethod
@@ -325,10 +337,10 @@ class Decoder:
 
         for handle in handles:
             collect(handle)
+        from ..io.audio import convert_f32_to_i16
+
         tail_f = np.asarray(carry).T.reshape(-1)       # [n*C] interleaved f32
-        tail = np.trunc(
-            np.clip(tail_f * np.float32(32767.0), -32768.0, 32767.0)
-        ).astype(np.int16)
+        tail = convert_f32_to_i16(tail_f)
         all_samples = np.concatenate(parts + [tail]) if parts else tail
 
         gi = encoded.gapless_info

@@ -41,7 +41,7 @@ from ..ops.encode import (
     encode_signal_device,
     gather_raw_device,
 )
-from .tables import get_device_tables
+from .tables import get_device_tables, pow2_bucket
 
 
 def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig,
@@ -86,11 +86,7 @@ def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig,
     return padded, num_frames, padding, T
 
 
-def _pow2_bucket(count: int, cap: int) -> int:
-    b = 16
-    while b < count and b < cap:
-        b *= 2
-    return min(b, cap)
+_pow2_bucket = pow2_bucket
 
 
 class Encoder:
@@ -158,8 +154,8 @@ class Encoder:
             compression_threshold=cfg.compression_threshold,
             max_q=cfg.max_q,
         )
-        tables = (tb.cos_table, tb.window, tb.norm, tb.band_mask,
-                  tb.band_inv_count, tb.band_pf, tb.band_of, tb.inv_w)
+        # DeviceTables field order matches encode_signal_device's parameters
+        tables = tuple(tb)
 
         # Segment the hop axis: a segment of `k` frames needs (k+1)*hop
         # signal samples (1-hop overlap between segments).  Greedy binary
@@ -169,38 +165,20 @@ class Encoder:
         max_chunk = cfg.encode_chunk_frames
         min_chunk = min(512, max_chunk)
 
-        # --- dispatch phase (async): upload + encode every segment ---
-        segs = []  # (start, valid, seg_chunk, seg_dev, packed_d, stats_d, budget)
-        start = 0
-        while start < F:
-            remaining = F - start
-            if remaining < min_chunk:
-                seg_chunk = _pow2_bucket(remaining, min_chunk)
-            else:
-                seg_chunk = min_chunk
-                while seg_chunk * 2 <= remaining and seg_chunk * 2 <= max_chunk:
-                    seg_chunk *= 2
-            valid = min(seg_chunk, remaining)
-            seg = np.zeros((C, (seg_chunk + 1) * hop), dtype)
-            src = padded[:, start * hop : (start + seg_chunk + 1) * hop]
-            seg[:, : src.shape[1]] = src
-            seg_dev = jax.device_put(seg)
-            budget = max(seg_chunk * C * n // 8, 1 << 14)
-            out_d = encode_signal_device(
-                seg_dev, *tables, budget=budget, **params
-            )
-            segs.append((start, valid, seg_chunk, seg_dev, out_d, budget))
-            start += seg_chunk
-
-        # --- collect phase ---
         nnz_all = np.empty((F, C), np.int64)
         scales_all = np.empty((F, C), np.float32)
         raw_mask_all = np.empty(F, bool)
         pair_parts = []
         raw_parts = []
-
         stats_width = 2 * C + 1
-        for start, valid, seg_chunk, seg_dev, out_d, budget in segs:
+
+        # Segments are dispatched ahead of collection so uploads, compute,
+        # and downloads pipeline on the link, with a bounded in-flight
+        # window so very long files cannot exhaust HBM with live buffers.
+        segs = []  # (start, valid, seg_chunk, seg_dev, out_d, budget)
+
+        def collect(rec):
+            start, valid, seg_chunk, seg_dev, out_d, budget = rec
             S = seg_chunk * stats_width
             # One transfer fetches the stats prefix plus a guessed number of
             # packed pairs; a second fetch happens only when the guess was
@@ -223,31 +201,38 @@ class Encoder:
             scales_all[start : start + valid] = scale[:valid]
             raw_mask_all[start : start + valid] = use_raw[:valid]
 
-            if total > 0:
-                if seg_total <= budget:
-                    if seg_total > cut0:
-                        cut = _pow2_bucket(seg_total, budget)
-                        tail = np.asarray(out_d[S + cut0 : S + cut])
-                        packed = np.concatenate([first[S:], tail])[:total]
-                    else:
-                        packed = first[S : S + total]
-                    pairs = np.empty(total, PAIR_DTYPE)
-                    pairs["k"] = (packed >> 16).astype(np.uint16)
-                    pairs["q"] = (packed & 0xFFFF).astype(np.uint16).view(
-                        np.int16
-                    )
-                    pair_parts.append(pairs)
+            if total > 0 and seg_total <= budget:
+                if seg_total > cut0:
+                    cut = _pow2_bucket(seg_total, budget)
+                    tail = np.asarray(out_d[S + cut0 : S + cut])
+                    packed = np.concatenate([first[S:], tail])[:total]
                 else:
-                    # dense fallback for atypically dense segments
-                    q_d, _n2, _s, _u = encode_signal_dense_device(
-                        seg_dev, *tables, **params
-                    )
-                    q_np = np.asarray(q_d)[:valid]
-                    fidx, cidx, kpos = np.nonzero(q_np)
-                    pairs = np.empty(len(kpos), PAIR_DTYPE)
-                    pairs["k"] = kpos.astype(np.uint16)
-                    pairs["q"] = q_np[fidx, cidx, kpos]
-                    pair_parts.append(pairs)
+                    packed = first[S : S + total]
+                pairs = np.empty(total, PAIR_DTYPE)
+                pairs["k"] = (packed >> 16).astype(np.uint16)
+                pairs["q"] = (packed & 0xFFFF).astype(np.uint16).view(
+                    np.int16
+                )
+                pair_parts.append(pairs)
+            elif seg_total > budget:
+                # Dense fallback for atypically dense segments.  It is a
+                # DIFFERENT compiled program, whose keep-gate can differ by
+                # ±1 ulp from the compacting program's — so nnz/scales/
+                # use_raw are taken from the dense program too, keeping the
+                # container self-consistent (pairs segmented by nnz).
+                q_d, nnz2_d, scale2_d, use_raw2_d = encode_signal_dense_device(
+                    seg_dev, *tables, **params
+                )
+                q_np = np.asarray(q_d)[:valid]
+                nnz_all[start : start + valid] = np.asarray(nnz2_d)[:valid]
+                scales_all[start : start + valid] = np.asarray(scale2_d)[:valid]
+                use_raw = np.asarray(use_raw2_d)[:valid]
+                raw_mask_all[start : start + valid] = use_raw
+                fidx, cidx, kpos = np.nonzero(q_np)
+                pairs = np.empty(len(kpos), PAIR_DTYPE)
+                pairs["k"] = kpos.astype(np.uint16)
+                pairs["q"] = q_np[fidx, cidx, kpos]
+                pair_parts.append(pairs)
 
             if use_raw[:valid].any():
                 ridx = np.flatnonzero(use_raw[:valid]).astype(np.int32)
@@ -260,6 +245,32 @@ class Encoder:
                 # channel-major flatten — the reference's actual storage
                 # layout (codec.rs:471-503, quirk Q13)
                 raw_parts.append(rows.reshape(-1, C * frame_size))
+
+        start = 0
+        while start < F:
+            remaining = F - start
+            if remaining < min_chunk:
+                seg_chunk = _pow2_bucket(remaining, min_chunk)
+            else:
+                seg_chunk = min_chunk
+                while seg_chunk * 2 <= remaining and seg_chunk * 2 <= max_chunk:
+                    seg_chunk *= 2
+            valid = min(seg_chunk, remaining)
+            seg = np.zeros((C, (seg_chunk + 1) * hop), dtype)
+            src = padded[:, start * hop : (start + seg_chunk + 1) * hop]
+            seg[:, : src.shape[1]] = src
+            seg_dev = jax.device_put(seg)
+            budget = max(seg_chunk * C * n // 8, 1 << 14)
+            out_d = encode_signal_device(
+                seg_dev, *tables, budget=budget, **params
+            )
+            segs.append((start, valid, seg_chunk, seg_dev, out_d, budget))
+            start += seg_chunk
+            if len(segs) > 4:
+                collect(segs.pop(0))
+
+        for rec in segs:
+            collect(rec)
 
         pairs_all = (
             np.concatenate(pair_parts) if pair_parts else np.empty(0, PAIR_DTYPE)

@@ -40,13 +40,18 @@ def get_device_tables(n: int, frame_size: int, sample_rate: int) -> DeviceTables
     )
 
 
-def chunk_size_for(num_frames: int, max_chunk: int) -> int:
-    """Pick a power-of-two chunk size ≥ num_frames, capped at max_chunk.
+def pow2_bucket(count: int, cap: int, floor: int = 16) -> int:
+    """Smallest power-of-two ≥ count (starting at `floor`), capped at `cap`.
 
-    Bucketing keeps the number of distinct compiled shapes small while not
-    paying 16× padding waste on short files.
+    Bucketing device-shape parameters keeps the set of compiled XLA
+    programs O(log) instead of one per data-dependent size.
     """
-    c = 128
-    while c < num_frames and c < max_chunk:
-        c *= 2
-    return min(c, max_chunk)
+    b = floor
+    while b < count and b < cap:
+        b *= 2
+    return min(b, cap)
+
+
+def chunk_size_for(num_frames: int, max_chunk: int) -> int:
+    """Power-of-two frame-chunk size ≥ num_frames, capped at max_chunk."""
+    return pow2_bucket(num_frames, max_chunk, floor=128)

@@ -19,9 +19,10 @@ def make_mesh(
     Default layout is 2D ('data', 'frames'): the 'data' axis shards
     independent streams (files / batch), the 'frames' axis shards the frame
     axis of one stream (the context-parallel direction, where the OLA halo
-    travels).  With no `shape` given, 'frames' gets as many devices as
-    possible (it is the axis that needs ≥2 shards to exercise the halo) and
-    'data' the rest.
+    travels).  The default shape keeps 'data' small — (2, n/2) for even
+    n ≥ 4, else (1, n) — so the halo path always has ≥ 2 'frames' shards
+    while exercising both axes; pass `shape` explicitly to shard a single
+    long stream over every device, e.g. shape=(1, n).
     """
     devices = jax.devices()
     n = len(devices) if n_devices is None else n_devices

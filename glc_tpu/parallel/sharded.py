@@ -33,8 +33,8 @@ from ..ops.encode import encode_math
 
 
 def _tables_tuple(tb):
-    return (tb.cos_table, tb.window, tb.norm, tb.band_mask,
-            tb.band_inv_count, tb.band_pf, tb.band_of, tb.inv_w)
+    # DeviceTables field order matches encode_math's parameter order
+    return tuple(tb)
 
 
 def encode_chunk_sharded(mesh: Mesh, blocks, tables, **params):
@@ -146,8 +146,10 @@ def roundtrip_step_sharded(
             q, scale, raw, use_raw, cos_table, window, norm
         )
         hops, _tail = _ola_with_halo(rec, carry, n, nshards)
-        # windowed reference signal for the local loss term
-        ref_hops = (blocks * window)[..., :n]
+        # Princen-Bradley: analysis+synthesis windowing with 50% OLA
+        # reconstructs the UNwindowed signal (sin window: w[t]² + w[t+n]² = 1),
+        # so the reconstruction target is the raw first half of each block.
+        ref_hops = blocks[..., :n]
         err = hops - ref_hops
         local_sse = jnp.sum(err * err)
         local_count = jnp.asarray(err.size, jnp.float32)

@@ -196,3 +196,34 @@ def test_progress_protocol_sequence():
     assert abs(decoding[0].value - 499 / F * 100.0) < 1e-6
     assert msgs[-1].kind == ProgressKind.COMPLETE
     assert re.fullmatch(rf"Decoded {F} frames in \d+\.\d\ds", msgs[-1].value)
+
+
+def test_duplicate_coefficient_index_last_wins():
+    """The reference's sequential scatter is last-wins on duplicate indices
+    (codec.rs:660-663); the rebuild must decode such foreign containers
+    deterministically the same way."""
+    from glc_tpu.container.schema import (
+        PAIR_DTYPE, AudioHeader, EncodedAudio, EncodedFrame, GaplessInfo,
+    )
+
+    pairs = np.array([(5, 1000), (5, -2000), (9, 300)], PAIR_DTYPE)
+    frame = EncodedFrame(
+        sparse_coeffs_per_channel=[pairs],
+        scale_factors=np.array([0.5], np.float32),
+    )
+    enc = EncodedAudio.from_frames(
+        AudioHeader(44100, 1, 1024), [frame], GaplessInfo(512, 0, 1024)
+    )
+    out1 = Decoder(1, 44100).decode(enc)
+
+    # reference semantics: equivalent to keeping only the LAST (5, -2000)
+    pairs2 = np.array([(5, -2000), (9, 300)], PAIR_DTYPE)
+    frame2 = EncodedFrame(
+        sparse_coeffs_per_channel=[pairs2],
+        scale_factors=np.array([0.5], np.float32),
+    )
+    enc2 = EncodedAudio.from_frames(
+        AudioHeader(44100, 1, 1024), [frame2], GaplessInfo(512, 0, 1024)
+    )
+    out2 = Decoder(1, 44100).decode(enc2)
+    np.testing.assert_array_equal(out1, out2)
