@@ -59,20 +59,18 @@ def encode_file(input_path: Path) -> None:
     """main.rs:20-52"""
     from .codec.encoder import Encoder
     from .container.bincode import save_encoded
-    from .io.audio import load_audio_file_lossless, load_audio_pcm16
+    from .io.audio import load_audio_for_encode
 
     print(f"Loading: {input_path.name!r}")
-    # exact i16 fast path for 16-bit sources (half-size device upload)
-    pcm16 = load_audio_pcm16(input_path)
-    if pcm16 is not None:
-        samples, sample_rate, channels = pcm16
-    else:
-        samples, sample_rate, channels = load_audio_file_lossless(input_path)
+    # single decode; 16-bit sources take the exact half-upload i16 path
+    samples, sample_rate, channels, is_pcm16 = load_audio_for_encode(
+        input_path
+    )
     print(f"Encoding: {sample_rate} Hz, {channels} channels, "
           f"{len(samples)} samples")
 
     encoder = Encoder(sample_rate)
-    if pcm16 is not None:
+    if is_pcm16:
         encoded = encoder.encode_pcm16(samples, channels)
     else:
         encoded = encoder.encode(samples, channels)
@@ -208,15 +206,19 @@ def _main_play(args: List[str]) -> int:
         print("Error: No valid .glc files to play", file=sys.stderr)
         return 1
 
-    try:
-        if use_ffplay:
-            for path in files_to_play:  # sequential, main.rs:512-527
+    if use_ffplay:
+        for path in files_to_play:  # sequential, main.rs:512-527
+            try:
                 play_file_with_ffplay(path)
-        else:
+            except Exception as e:
+                print(f"Error playing file: {e}", file=sys.stderr)
+                return 1
+    else:
+        try:
             play_files_gapless(files_to_play)
-    except Exception as e:
-        print(f"Error playing files: {e}", file=sys.stderr)
-        return 1
+        except Exception as e:
+            print(f"Error playing files: {e}", file=sys.stderr)
+            return 1
     return 0
 
 

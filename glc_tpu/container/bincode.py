@@ -271,15 +271,67 @@ def _deserialize_encoded_numpy(data) -> EncodedAudio:
         raise BincodeError(f"implausible frame count {F}")
     C = channels
 
-    u64 = _U64.unpack_from
     pos = 22
     nnz = np.zeros((F, C), np.int64)
     scales = np.zeros((F, C), np.float32)
     raw_mask = np.zeros(F, bool)
     pair_spans = []  # (src_offset, count) per (frame, channel) in stream order
     raw_spans = []   # (src_offset, length) per raw frame
-    raw_len = None
 
+    try:
+        pos, _raw_len = _scan_frames(
+            buf, n, F, C, pos, nnz, scales, raw_mask, pair_spans, raw_spans
+        )
+    except BincodeError:
+        raise
+    except (struct.error, IndexError, ValueError) as e:
+        # truncation inside a frame record — normalize to the parse-error API
+        raise BincodeError(f"truncated or malformed .glc data: {e}") from e
+
+    # gapless_info follows the frames; bincode v1's legacy deserialize allows
+    # trailing bytes after it (codec.rs:781-786), so we do too
+    if pos + 16 > n:
+        raise BincodeError("truncated gapless_info")
+    encoder_delay, padding, original_length = _GAPLESS.unpack_from(buf, pos)
+
+    # Vectorized gather of all pair data
+    K = int(nnz.sum())
+    pairs = np.empty(K, PAIR_DTYPE)
+    if K:
+        starts = np.array([s for s, _ in pair_spans], np.int64)
+        counts = np.array([c for _, c in pair_spans], np.int64)
+        seg_excl = np.zeros_like(counts)
+        np.cumsum(counts[:-1], out=seg_excl[1:])
+        within = np.arange(K, dtype=np.int64) - np.repeat(seg_excl, counts)
+        src = np.repeat(starts, counts) + 4 * within
+        pairs = buf[src[:, None] + _AR4].reshape(-1).view(PAIR_DTYPE)
+
+    if raw_spans:
+        L = raw_spans[0][1]
+        raw_pcm = np.empty((len(raw_spans), L), np.int16)
+        for ri, (off, _) in enumerate(raw_spans):
+            raw_pcm[ri] = np.frombuffer(buf, "<i2", L, off)
+        frame_size = L // C if C else 2048
+    else:
+        frame_size = 2048
+        raw_pcm = np.empty((0, frame_size * C), np.int16)
+
+    fs = FrameSet(nnz, pairs, scales, raw_mask, raw_pcm, frame_size)
+    return EncodedAudio(
+        header=AudioHeader(sample_rate, channels, total_samples),
+        frame_set=fs,
+        gapless_info=GaplessInfo(encoder_delay, padding, original_length),
+    )
+
+
+def _scan_frames(buf, n, F, C, pos, nnz, scales, raw_mask, pair_spans,
+                 raw_spans):
+    """Sequential scan of the frame records (the format is length-prefixed).
+
+    Fills the columnar output arrays/lists in place; returns (pos after the
+    last frame, raw frame length or None)."""
+    u64 = _U64.unpack_from
+    raw_len = None
     for fi in range(F):
         if pos + 8 > n:
             raise BincodeError("truncated frame table")
@@ -327,39 +379,7 @@ def _deserialize_encoded_numpy(data) -> EncodedAudio:
             raise BincodeError(
                 f"frame {fi}: channel count {outer} != header channels {C}"
             )
-
-    if pos + 16 != n:
-        raise BincodeError(f"trailing bytes: parsed {pos + 16}, have {n}")
-    encoder_delay, padding, original_length = _GAPLESS.unpack_from(buf, pos)
-
-    # Vectorized gather of all pair data
-    K = int(nnz.sum())
-    pairs = np.empty(K, PAIR_DTYPE)
-    if K:
-        starts = np.array([s for s, _ in pair_spans], np.int64)
-        counts = np.array([c for _, c in pair_spans], np.int64)
-        seg_excl = np.zeros_like(counts)
-        np.cumsum(counts[:-1], out=seg_excl[1:])
-        within = np.arange(K, dtype=np.int64) - np.repeat(seg_excl, counts)
-        src = np.repeat(starts, counts) + 4 * within
-        pairs = buf[src[:, None] + _AR4].reshape(-1).view(PAIR_DTYPE)
-
-    if raw_spans:
-        L = raw_spans[0][1]
-        raw_pcm = np.empty((len(raw_spans), L), np.int16)
-        for ri, (off, _) in enumerate(raw_spans):
-            raw_pcm[ri] = np.frombuffer(buf, "<i2", L, off)
-        frame_size = L // C if C else 2048
-    else:
-        frame_size = 2048
-        raw_pcm = np.empty((0, frame_size * C), np.int16)
-
-    fs = FrameSet(nnz, pairs, scales, raw_mask, raw_pcm, frame_size)
-    return EncodedAudio(
-        header=AudioHeader(sample_rate, channels, total_samples),
-        frame_set=fs,
-        gapless_info=GaplessInfo(encoder_delay, padding, original_length),
-    )
+    return pos, raw_len
 
 
 def save_encoded(encoded: EncodedAudio, path: Union[str, Path]) -> None:

@@ -208,6 +208,8 @@ class _FrameListView(Sequence):
             return [self._fs.frame(j) for j in range(*i.indices(len(self)))]
         if i < 0:
             i += len(self)
+        if not 0 <= i < len(self):
+            raise IndexError("frame index out of range")
         return self._fs.frame(i)
 
     def __iter__(self):

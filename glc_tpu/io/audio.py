@@ -14,19 +14,13 @@ from typing import Tuple, Union
 
 import numpy as np
 
-from .wav import read_wav, write_wav
+from .wav import convert_f32_to_i16, read_wav, write_wav  # noqa: F401
+# convert_f32_to_i16 re-exported: it is the exporters' canonical conversion
+# (audio.rs:9-16), defined in wav.py to avoid an import cycle
 
 
 class AudioFormatError(ValueError):
     pass
-
-
-def convert_f32_to_i16(samples: np.ndarray) -> np.ndarray:
-    """×32767, clamp, truncate toward zero (Rust `as i16`; audio.rs:9-16)."""
-    return np.trunc(
-        np.clip(np.asarray(samples, np.float32) * np.float32(32767.0),
-                -32768.0, 32767.0)
-    ).astype(np.int16)
 
 
 def load_audio_file_lossless(
@@ -68,6 +62,35 @@ def load_audio_pcm16(path: Union[str, Path]):
             return None
         return samples.astype(np.int16), rate, channels
     return None
+
+
+def load_audio_for_encode(path: Union[str, Path]):
+    """Load an input for encoding, decoding the file exactly once.
+
+    Returns (samples, sample_rate, channels, is_pcm16): int16 samples for
+    16-bit sources (the encoder's exact half-upload path), float32 otherwise
+    (normalized like `load_audio_file_lossless`).
+    """
+    path = Path(path)
+    ext = path.suffix[1:].lower() if path.suffix else ""
+    if not ext:
+        raise AudioFormatError("No file extension")
+    if ext == "wav":
+        from .wav import read_wav_pcm16
+        pcm16 = read_wav_pcm16(path)
+        if pcm16 is not None:
+            samples, rate, ch = pcm16
+            return samples, rate, ch, True
+        samples, rate, ch = read_wav(path)
+        return samples, rate, ch, False
+    if ext == "flac":
+        from ..flac.decoder import decode_flac
+        samples, rate, ch, bps = decode_flac(path.read_bytes())
+        if bps == 16:
+            return samples.astype(np.int16), rate, ch, True
+        return (samples.astype(np.float32) / np.float32(1 << (bps - 1)),
+                rate, ch, False)
+    raise AudioFormatError(f"Unsupported file format: {ext}")
 
 
 def export_to_wav(

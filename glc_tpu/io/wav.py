@@ -22,6 +22,17 @@ class WavError(ValueError):
     pass
 
 
+def convert_f32_to_i16(samples: np.ndarray) -> np.ndarray:
+    """×32767, clamp, truncate toward zero (Rust `as i16`; audio.rs:9-16).
+
+    Lives here (rather than audio.py, which re-exports it) so write_wav can
+    share the single definition without an import cycle."""
+    return np.trunc(
+        np.clip(np.asarray(samples, np.float32) * np.float32(32767.0),
+                -32768.0, 32767.0)
+    ).astype(np.int16)
+
+
 def _scan_chunks(data: bytes):
     """RIFF chunk walk → (fmt_body, data_body); None for a missing chunk."""
     fmt = None
@@ -131,11 +142,7 @@ def write_wav(
 ) -> None:
     """Write interleaved float32 samples as a 16-bit integer PCM WAV
     (reference src/audio.rs:98-133): ×32767, clamp, truncate toward zero."""
-    i16 = np.trunc(
-        np.clip(np.asarray(samples, np.float32) * np.float32(32767.0),
-                -32768.0, 32767.0)
-    ).astype("<i2")
-    write_wav_i16(path, i16, sample_rate, channels)
+    write_wav_i16(path, convert_f32_to_i16(samples), sample_rate, channels)
 
 
 def write_wav_i16(

@@ -55,9 +55,18 @@ def ffplay_available() -> bool:
 
 
 class FfplaySink:
-    """A child ffplay process fed f32le over stdin (main.rs:218-274)."""
+    """A child ffplay process fed f32le over stdin (main.rs:218-274).
+
+    ffplay's output streams go to temp files, not pipes: ffplay rewrites a
+    status line continuously, and an undrained 64 KB stderr pipe would fill
+    after a few minutes and deadlock the stdin writes (a latent bug in the
+    reference's Stdio::piped + wait_with_output approach)."""
 
     def __init__(self, sample_rate: int, channels: int):
+        import tempfile
+
+        self._out = tempfile.TemporaryFile()
+        self._err = tempfile.TemporaryFile()
         self.proc = subprocess.Popen(
             [
                 "ffplay",
@@ -69,8 +78,8 @@ class FfplaySink:
                 "-",
             ],
             stdin=subprocess.PIPE,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            stdout=self._out,
+            stderr=self._err,
         )
 
     def write(self, samples: np.ndarray) -> bool:
@@ -88,13 +97,20 @@ class FfplaySink:
             self.proc.stdin.close()
         except OSError:
             pass
-        out, err = self.proc.communicate()
+        self.proc.wait()
         if self.proc.returncode != 0:
             print(f"ffplay exited with status: {self.proc.returncode}",
                   file=sys.stderr)
-            if err:
-                print("ffplay stderr:", file=sys.stderr)
-                print(err.decode(errors="replace"), file=sys.stderr)
+            try:
+                self._err.seek(0)
+                err = self._err.read()
+                if err:
+                    print("ffplay stderr:", file=sys.stderr)
+                    print(err.decode(errors="replace"), file=sys.stderr)
+            except OSError:
+                pass
+        self._out.close()
+        self._err.close()
         return self.proc.returncode
 
 
@@ -182,9 +198,11 @@ def play_files_gapless(file_paths: List[Path]) -> None:
                 while True:
                     chunk = rx.get()
                     if chunk.error is not None:
+                        # continue with the next playlist entry, like the
+                        # reference's closed-channel recv loop (main.rs:152-161)
                         print(f"Error decoding {path.name}: {chunk.error}",
                               file=sys.stderr)
-                        return
+                        break
                     if not sink.write(chunk.samples):
                         return
                     if chunk.is_last:

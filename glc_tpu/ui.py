@@ -110,21 +110,17 @@ def run_gui() -> int:
         def work():
             from .codec.encoder import Encoder
             from .container.bincode import save_encoded
-            from .io.audio import load_audio_file_lossless, load_audio_pcm16
+            from .io.audio import load_audio_for_encode
 
             for i, path in enumerate(files):
                 try:
                     state.set_status(f"Encoding {path.name}...")
                     state.encode_progress = 0.0
-                    pcm16 = load_audio_pcm16(path)
-                    if pcm16 is not None:
-                        samples, rate, ch = pcm16
-                    else:
-                        samples, rate, ch = load_audio_file_lossless(path)
+                    samples, rate, ch, is_pcm16 = load_audio_for_encode(path)
                     state.encode_progress = 50.0
                     enc = Encoder(rate)
                     encoded = (enc.encode_pcm16(samples, ch)
-                               if pcm16 is not None
+                               if is_pcm16
                                else enc.encode(samples, ch))
                     state.encode_progress = 90.0
                     out = path.with_suffix(".glc")

@@ -775,7 +775,10 @@ extern "C" int32_t glc_container_scan(
       return -9;
     }
   }
-  if (p != end) return -10;
+  // gapless_info follows the frames immediately; bincode v1's legacy
+  // deserialize allows trailing bytes after it (codec.rs:781-786), so we do
+  // too — only require that 16 bytes exist at p.
+  if (p > end) return -10;
   std::memcpy(encoder_delay, p, 4);
   std::memcpy(padding, p + 4, 4);
   std::memcpy(original_length, p + 8, 8);
@@ -824,7 +827,7 @@ extern "C" int32_t glc_container_fill(
       p += 2 * L;
     }
   }
-  return p == end ? 0 : -1;
+  return p <= end ? 0 : -1;
 }
 
 namespace {

@@ -213,3 +213,39 @@ def test_native_and_numpy_paths_byte_identical():
     a = bc._native_deserialize(native_bytes)
     b = bc._deserialize_encoded_numpy(native_bytes)
     assert bc._serialize_encoded_numpy(a) == bc._serialize_encoded_numpy(b)
+
+
+def test_trailing_bytes_tolerated():
+    """bincode v1's legacy deserialize allows trailing bytes after the
+    payload (codec.rs:781-786); both parsers must too."""
+    from glc_tpu.container import bincode as bc
+
+    enc = EncodedAudio.from_frames(
+        AudioHeader(44100, 1, 10),
+        [EncodedFrame(
+            sparse_coeffs_per_channel=[make_pairs([(1, 2)])],
+            scale_factors=np.array([1.0], np.float32),
+        )],
+        GaplessInfo(512, 0, 10),
+    )
+    data = serialize_encoded(enc) + b"\x00trailing-junk"
+    for parse in (bc._native_deserialize, bc._deserialize_encoded_numpy):
+        dec = parse(data)
+        assert dec.gapless_info.encoder_delay == 512
+        assert len(dec.frames) == 1
+
+
+def test_negative_index_out_of_range_raises():
+    enc = EncodedAudio.from_frames(
+        AudioHeader(44100, 1, 10),
+        [EncodedFrame(
+            sparse_coeffs_per_channel=[make_pairs([(1, 2)])],
+            scale_factors=np.array([1.0], np.float32),
+        )],
+        GaplessInfo(512, 0, 10),
+    )
+    assert enc.frames[-1].scale_factors[0] == 1.0
+    with pytest.raises(IndexError):
+        enc.frames[-2]
+    with pytest.raises(IndexError):
+        enc.frames[1]
