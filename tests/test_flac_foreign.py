@@ -209,3 +209,35 @@ def test_crc_mismatch_rejected():
     from glc_tpu.flac.decoder import FlacDecodeError
     with pytest.raises(FlacDecodeError):
         decode_flac(bytes(data))
+
+
+def test_24bit_flac_load_path(tmp_path):
+    """A 24-bit FLAC (which our encoder never writes) loads through the f32
+    branch of load_audio_for_encode, normalized by 2^23 (audio.rs:72)."""
+    from glc_tpu.io.audio import load_audio_for_encode
+
+    vals = np.array([0, 1 << 20, -(1 << 20), (1 << 23) - 1, -(1 << 23), 42,
+                     -7, 12345, -54321, 99, -99, 7, 1, -1, 2, -2], np.int64)
+    w = BitWriter()
+    stream_header(w, 1, BS, bps=24)
+    start = len(w.buf)
+    w.write_bits(0x3FFE, 14)
+    w.write_bits(0, 1)
+    w.write_bits(0, 1)
+    w.write_bits(0b0110, 4)
+    w.write_bits(0b1001, 4)
+    w.write_bits(0b0000, 4)
+    w.write_bits(0b110, 3)   # 24-bit sample size
+    w.write_bits(0, 1)
+    write_utf8_number(w, 0)
+    w.write_byte(BS - 1)
+    w.write_byte(crc8(bytes(w.buf[start:])))
+    verbatim_subframe(w, vals, 24)
+    finish_frame(w, start)
+
+    p = tmp_path / "i24.flac"
+    p.write_bytes(w.get_bytes())
+    samples, rate, ch, pcm16 = load_audio_for_encode(p)
+    assert (rate, ch, pcm16) == (RATE, 1, False)
+    assert samples.dtype == np.float32
+    np.testing.assert_allclose(samples, vals / float(1 << 23), atol=1e-9)
