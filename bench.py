@@ -1,13 +1,28 @@
-"""Benchmark: full GLC encode realtime factor on one chip.
+"""Benchmark: GLC encode/decode/FLAC-export realtime factors on one chip.
 
-Measures the complete encode path — host framing, device window/MDCT/masking/
-quantization, host sparsification, and bincode container serialization — on
-44.1 kHz stereo program material, end to end (what `glc song.wav` does minus
-file I/O).  The reference publishes no numbers (SURVEY.md §6); the north star
-is ≥500× realtime per chip (BASELINE.json).
+Measures the full pipelines end to end — what `glc song.wav` and
+`glc -d song.glc` do minus file I/O — on 44.1 kHz stereo program material:
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  * encode: host framing, device window/MDCT/masking/quantization, host
+    sparsification, bincode container serialization;
+  * decode: container → device IMDCT/window/overlap-add → gapless trim (the
+    decode anchor of reference tests/test_performance.rs:204-236);
+  * flac_export: decode + full FLAC encode at level 5 (reference
+    tests/test_performance.rs round-trip anchor).
+
+The reference publishes no numbers (SURVEY.md §6); the north star is ≥500×
+realtime encode per chip (BASELINE.json).  `vs_baseline` is measured against
+that 500× target for every metric.
+
+Prints one JSON line per metric (encode first — the headline number):
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Each JSON line also carries "median_value" (min-of-5 is the official value —
+the 1-core VM is noisy — but the median shows typical behavior).  Stderr
+carries diagnostics, including the measured host→device link bandwidth and
+the link-bound ceiling it implies for the encode path: with compute ~679×
+realtime on-chip, the upload of the source PCM is the physical floor off-chip,
+so the e2e number should be judged against that ceiling, not just 500×.
 """
 
 import json
@@ -35,6 +50,31 @@ def make_signal(duration_s: float, sample_rate: int = 44100) -> np.ndarray:
     return out
 
 
+def timed(fn, runs: int = 5):
+    """(best_seconds, median_seconds, last_result) over `runs` timed calls."""
+    times = []
+    result = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        result = fn()
+        times.append(time.perf_counter() - t0)
+    return min(times), float(np.median(times)), result
+
+
+def emit(metric: str, duration_s: float, best: float, med: float, **extra):
+    rt = duration_s / best
+    line = {
+        "metric": metric,
+        "value": round(rt, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(rt / 500.0, 3),
+        "median_value": round(duration_s / med, 1),
+    }
+    line.update(extra)
+    print(json.dumps(line))
+    sys.stdout.flush()
+
+
 def main() -> None:
     duration_s = 60.0
     sample_rate = 44100
@@ -43,51 +83,90 @@ def main() -> None:
     samples_f32 = make_signal(duration_s, sample_rate)
     samples = np.clip(samples_f32 * 32767.0, -32768, 32767).astype(np.int16)
 
-    from glc_tpu import Encoder, serialize_encoded
+    import jax
+
+    from glc_tpu import Decoder, Encoder, serialize_encoded
+    from glc_tpu.flac.encoder import encode_flac_i16_with_level
 
     enc = Encoder(sample_rate)
+    dec = Decoder(2, sample_rate)
 
-    # Warmup: compile + caches
+    # Warmup: compile + caches for all three pipelines
     encoded = enc.encode_pcm16(samples, 2)
     data = serialize_encoded(encoded)
+    pcm = dec.decode_i16(encoded)
+    flac_bytes = encode_flac_i16_with_level(pcm, sample_rate, 2, 5)
 
-    runs = 5
-    times = []
-    for _ in range(runs):
+    # --- link bandwidth + encode ceiling (judge e2e against physics) ---
+    upload_bytes = samples.nbytes  # the i16 PCM is the irreducible upload
+    probe = jax.device_put(samples)
+    jax.block_until_ready(probe)
+    bw_times = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        encoded = enc.encode_pcm16(samples, 2)
-        data = serialize_encoded(encoded)
-        times.append(time.perf_counter() - t0)
+        jax.block_until_ready(jax.device_put(samples))
+        bw_times.append(time.perf_counter() - t0)
+    link_bw = upload_bytes / min(bw_times)  # bytes/s, best case
+    encode_ceiling = duration_s / (upload_bytes / link_bw)
 
-    best = min(times)
-    rt_factor = duration_s / best
-
-    print(
-        json.dumps(
-            {
-                "metric": "encode_realtime_factor_44k_stereo",
-                "value": round(rt_factor, 1),
-                "unit": "x_realtime",
-                "vs_baseline": round(rt_factor / 500.0, 3),
-            }
-        )
+    # --- encode ---
+    best, med, _ = timed(
+        lambda: serialize_encoded(enc.encode_pcm16(samples, 2))
+    )
+    emit(
+        "encode_realtime_factor_44k_stereo", duration_s, best, med,
+        link_ceiling_x_realtime=round(encode_ceiling, 1),
+        pct_of_link_ceiling=round(100.0 * (duration_s / best) / encode_ceiling, 1),
     )
     print(
         f"# encode {duration_s:.0f}s stereo in {best*1000:.1f} ms "
-        f"(median {np.median(times)*1000:.1f} ms over {runs} runs), "
-        f"container {len(data)} bytes "
-        f"({len(samples)*4/len(data):.1f}x vs f32)",
+        f"(median {med*1000:.1f} ms over 5 runs), "
+        f"container {len(data)} bytes ({len(samples)*4/len(data):.1f}x vs f32)",
+        file=sys.stderr,
+    )
+    print(
+        f"# host->device link: {link_bw/1e6:.1f} MB/s best over 5 probes; "
+        f"{upload_bytes/1e6:.1f} MB PCM upload -> encode ceiling "
+        f"{encode_ceiling:.0f}x realtime (e2e is "
+        f"{100.0*(duration_s/best)/encode_ceiling:.0f}% of ceiling)",
         file=sys.stderr,
     )
 
-    # Diagnostic: device-compute-only realtime factor (data resident in
-    # HBM, no host link).  Shows the architecture's headroom — off-chip the
-    # host↔device link, not the MXU, is the binding constraint.
-    try:
-        import jax
+    # --- decode (decode_i16, the export path) ---
+    best_d, med_d, pcm = timed(lambda: dec.decode_i16(encoded))
+    emit("decode_realtime_factor_44k_stereo", duration_s, best_d, med_d)
+    print(
+        f"# decode {duration_s:.0f}s stereo in {best_d*1000:.1f} ms "
+        f"(median {med_d*1000:.1f} ms), {len(pcm)} samples",
+        file=sys.stderr,
+    )
 
+    # --- FLAC export (decode + FLAC encode level 5, the `glc -d` default) ---
+    best_f, med_f, flac_bytes = timed(
+        lambda: encode_flac_i16_with_level(
+            dec.decode_i16(encoded), sample_rate, 2, 5
+        )
+    )
+    emit("flac_export_realtime_factor_44k_stereo", duration_s, best_f, med_f)
+    print(
+        f"# decode+flac(level 5) {duration_s:.0f}s stereo in "
+        f"{best_f*1000:.1f} ms (median {med_f*1000:.1f} ms), "
+        f"{len(flac_bytes)} bytes",
+        file=sys.stderr,
+    )
+
+    # --- diagnostics: device-compute-only realtime factor + compaction path ---
+    try:
         from glc_tpu.codec.encoder import frame_signal
         from glc_tpu.ops.encode import encode_signal_device
+
+        fs = encoded.frame_set
+        max_row_nnz = int(fs.nnz.max()) if fs.nnz.size else 0
+        print(
+            f"# compaction: max per-(frame,channel) nnz = {max_row_nnz} "
+            f"(sort-free cumsum+scatter path)",
+            file=sys.stderr,
+        )
 
         tb = enc._tables
         tables = (tb.cos_table, tb.window, tb.norm, tb.band_mask,
@@ -97,13 +176,14 @@ def main() -> None:
         seg[:, : padded.shape[1]] = padded[:, : 4097 * 1024]
         seg_dev = jax.device_put(seg)
         budget = 4096 * 2 * 1024 // 8
-        out = encode_signal_device(seg_dev, *tables, budget=budget,
-                                   pcm16=True)
+        out = encode_signal_device(seg_dev, np.int32(0), *tables,
+                                   k_frames=4096, budget=budget, pcm16=True)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         iters = 20
         for _ in range(iters):
-            out = encode_signal_device(seg_dev, *tables, budget=budget,
+            out = encode_signal_device(seg_dev, np.int32(0), *tables,
+                                       k_frames=4096, budget=budget,
                                        pcm16=True)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
@@ -113,8 +193,7 @@ def main() -> None:
             file=sys.stderr,
         )
     except Exception as e:
-        print(f"# device-compute-only diagnostic failed: {e}",
-              file=sys.stderr)
+        print(f"# diagnostics failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -25,10 +25,14 @@ import numpy as np
 
 from ..config import CodecConfig, DEFAULT_CONFIG
 from ..container.schema import AudioChunk, EncodedAudio, FrameSet, Progress
-from ..ops.decode import decode_chunk_sparse_device
+from ..ops.decode import decode_chunk_packed_device
 from .tables import chunk_size_for, get_device_tables, pow2_bucket
 
 ProgressSender = Callable[[Progress], None]
+
+# placeholder for the raw-frame buffer when a chunk has no raw frames
+# (rbudget=0 compiles a no-raw program; the arg must still be an array)
+_EMPTY_I32 = np.empty(0, np.int32)
 
 
 class _Cancelled(Exception):
@@ -39,18 +43,19 @@ class _Cancelled(Exception):
 _pow2_bucket = pow2_bucket
 
 
-def _sparse_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
+def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
                    reference_compat: bool = True):
-    """Sparse upload payload for frames [start, start+count) of a K-frame
+    """Packed upload payload for frames [start, start+count) of a K-frame
     chunk (count ≤ K; the rest is padding).
 
-    Returns (pos int32 [budget], vals int16 [budget], scales f32 [K,C],
-    raw_rows int16 [rbudget,C,frame_size], raw_idx int32 [rbudget],
-    is_raw bool [K]).  Fill entries of pos/raw_idx point out of range and
-    are dropped by the device scatter.  The raw-PCM byte layout is read
-    back *interleaved* (sample_idx = i*channels + ch, reference
-    src/codec.rs:636) even though the encoder stored it channel-major —
-    quirk Q13, reproduced for parity.
+    Returns (words int32, raw_words int32 | None, budget, rbudget) for
+    `decode_chunk_packed_device` — ONE buffer per chunk (plus one raw
+    buffer only when raw frames exist) because the link's per-transfer
+    latency makes six small uploads far slower than one combined one.
+    See the device docstring for the section layout.  The raw-PCM byte
+    layout is read back *interleaved* (sample_idx = i*channels + ch,
+    reference src/codec.rs:636) even though the encoder stored it
+    channel-major — quirk Q13, reproduced for parity.
     """
     C = fs.channels
     frame_size = fs.frame_size
@@ -62,51 +67,86 @@ def _sparse_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     # power-of-two upload shapes, capped at the dense maximum — keeps the
     # set of compiled decode programs O(log), not one per pair count
     budget = _pow2_bucket(P, K * C * n)
-    pos = np.full(budget, K * C * n, np.int32)
-    vals = np.zeros(budget, np.int16)
+
+    words = np.empty(budget + (K * C) // 2 + K * C + K, np.int32)
+    kv = words[:budget].view(np.uint32)
+    kv[:] = 0xFFFF0000  # fill: k = 0xFFFF ≥ n → dropped by the device
     if P:
         pairs = fs.pairs[pair_start : pair_start + P]
-        flat_fc = np.repeat(np.arange(count * C), nnz.reshape(-1))
-        kidx = pairs["k"].astype(np.int64)
-        ok = kidx < n  # reference skips out-of-range indices (codec.rs:661)
-        p = np.where(ok, flat_fc * n + kidx, K * C * n).astype(np.int32)
-        v = pairs["q"].copy()
+        kidx = pairs["k"].astype(np.uint32)
+        kv[:P] = (kidx << 16) | pairs["q"].view(np.uint16).astype(np.uint32)
         # The reference's sequential scatter is last-wins on duplicate
         # indices (codec.rs:660-663); the device scatter is order-
-        # unspecified, so drop all but the last duplicate host-side.
-        # Well-formed streams are strictly increasing per (frame, channel),
-        # so the check is O(P) and the dedup path never runs for them.
+        # unspecified, so mark all but the last duplicate dropped (k=0xFFFF)
+        # host-side.  Well-formed streams are strictly increasing per
+        # (frame, channel), so the check is O(P) and the dedup path never
+        # runs for them.  (The nnz section stays untouched — the device's
+        # pair→row mapping counts dropped slots too.)
+        # dedup key: row stride n+1 gives out-of-range k (clamped to n) a
+        # slot of its own per row, so OOB pairs never alias a neighboring
+        # row's k=0 (the device drops them regardless)
+        flat_fc = np.repeat(np.arange(count * C), nnz.reshape(-1))
+        p = flat_fc * (n + 1) + np.minimum(kidx.astype(np.int64), n)
         if P > 1 and not (np.diff(p) > 0).all():
-            # first occurrence in the reversed stream == last in the original
-            _, first_rev = np.unique(p[::-1], return_index=True)
-            keep = np.zeros(P, bool)
-            keep[P - 1 - first_rev] = True
-            p = np.where(keep, p, K * C * n).astype(np.int32)
-            v = np.where(keep, v, 0)
-        pos[:P] = p
-        vals[:P] = v
+            dup = np.zeros(P, bool)
+            order = np.argsort(p, kind="stable")
+            ps = p[order]
+            dup_sorted = np.concatenate([ps[1:] == ps[:-1], [False]])
+            dup[order] = dup_sorted  # True for all but the LAST of each run
+            kv[:P] = np.where(dup, np.uint32(0xFFFF0000), kv[:P])
 
-    scales = np.zeros((K, C), np.float32)
-    scales[:count] = fs.scales[start : start + count]
-    is_raw = np.zeros(K, bool)
-    is_raw[:count] = is_raw_v
+    nnz_sec = words[budget : budget + (K * C) // 2].view(np.uint16)
+    nnz_sec[: count * C] = nnz.reshape(-1).astype(np.uint16)
+    nnz_sec[count * C :] = 0
+    o1 = budget + (K * C) // 2
+    scale_sec = words[o1 : o1 + K * C].view(np.float32)
+    scale_sec[: count * C] = fs.scales[start : start + count].reshape(-1)
+    scale_sec[count * C :] = 0.0
+    flag_sec = words[o1 + K * C :]
+    flag_sec[:count] = is_raw_v
+    flag_sec[count:] = 0
 
     R = int(is_raw_v.sum())
-    rbudget = _pow2_bucket(R, K)
-    raw_rows = np.zeros((rbudget, C, frame_size), np.int16)
-    raw_idx = np.full(rbudget, K, np.int32)
-    if R:
-        raw_before = int(np.count_nonzero(fs.raw_mask[:start]))
-        rows = fs.raw_pcm[raw_before : raw_before + R]
-        if reference_compat:
-            # interleaved read-back of channel-major data (Q13)
-            raw_rows[:R] = rows.reshape(-1, frame_size, C).transpose(0, 2, 1)
-        else:
-            # clean mode: read channel-major, as actually stored
-            raw_rows[:R] = rows.reshape(-1, C, frame_size)
-        raw_idx[:R] = np.flatnonzero(is_raw_v).astype(np.int32)
+    if R == 0:
+        return words, None, budget, 0
 
-    return pos, vals, scales, raw_rows, raw_idx, is_raw
+    rbudget = _pow2_bucket(R, K)
+    raw_words = np.empty(rbudget + rbudget * C * frame_size // 2, np.int32)
+    raw_words[:rbudget] = K  # fill indices → dropped
+    raw_words[:R] = np.flatnonzero(is_raw_v).astype(np.int32)
+    rows_sec = raw_words[rbudget:].view(np.int16).reshape(
+        rbudget, C, frame_size
+    )
+    raw_before = int(np.count_nonzero(fs.raw_mask[:start]))
+    rows = fs.raw_pcm[raw_before : raw_before + R]
+    if reference_compat:
+        # interleaved read-back of channel-major data (Q13)
+        rows_sec[:R] = rows.reshape(-1, frame_size, C).transpose(0, 2, 1)
+    else:
+        # clean mode: read channel-major, as actually stored
+        rows_sec[:R] = rows.reshape(-1, C, frame_size)
+    rows_sec[R:] = 0
+    return words, raw_words, budget, rbudget
+
+
+def gapless_trim(all_samples: np.ndarray, gapless_info, channels: int,
+                 reference_compat: bool) -> np.ndarray:
+    """The gapless trim of reference src/codec.rs:756-767: drain the encoder
+    delay, truncate to the original length — both guarded, both in
+    interleaved-sample units (quirk Q1).  Clean mode scales the delay by the
+    channel count so the per-channel lead-in is fully removed (fixes Q1).
+
+    Single source of truth for every decode surface (`decode`, `decode_i16`,
+    future streaming-trim modes): a trim change lands once, here.
+    """
+    delay = gapless_info.encoder_delay
+    if not reference_compat:
+        delay *= channels
+    if len(all_samples) > delay:
+        all_samples = all_samples[delay:]
+    if len(all_samples) > gapless_info.original_length:
+        all_samples = all_samples[: gapless_info.original_length]
+    return all_samples
 
 
 class Decoder:
@@ -245,23 +285,22 @@ class Decoder:
 
         for start in range(0, F, chunk):
             valid = min(chunk, F - start)
-            pos, vals, scales, raw_rows, raw_idx, is_raw = _sparse_slices(
+            words, raw_words, budget, rbudget = _packed_slices(
                 fs, start, valid, chunk, n, cfg.reference_compat
             )
 
-            hops, carry = decode_chunk_sparse_device(
-                jax.device_put(pos),
-                jax.device_put(vals),
-                jax.device_put(scales),
-                jax.device_put(raw_rows),
-                jax.device_put(raw_idx),
-                jax.device_put(is_raw),
+            hops, carry = decode_chunk_packed_device(
+                jax.device_put(words),
+                jax.device_put(raw_words if raw_words is not None
+                               else _EMPTY_I32),
                 carry,
                 np.int32(valid),
                 tb.cos_table, tb.window, tb.norm,
                 K=chunk, C=C, n=n,
+                budget=budget, rbudget=rbudget,
                 max_q=cfg.max_q,
                 window_raw=window_raw,
+                use_pallas=cfg.use_pallas,
             )
             prev, inflight = inflight, (hops, valid)
             if prev is not None:
@@ -316,18 +355,20 @@ class Decoder:
         handles = []
         for start in range(0, F, chunk):
             valid = min(chunk, F - start)
-            pos, vals, scales, raw_rows, raw_idx, is_raw = _sparse_slices(
+            words, raw_words, budget, rbudget = _packed_slices(
                 fs, start, valid, chunk, n, cfg.reference_compat
             )
             out_frames = 0 if valid == chunk else _pow2_bucket(valid, chunk)
-            hops_d, carry = decode_chunk_sparse_device(
-                jax.device_put(pos), jax.device_put(vals),
-                jax.device_put(scales), jax.device_put(raw_rows),
-                jax.device_put(raw_idx), jax.device_put(is_raw),
+            hops_d, carry = decode_chunk_packed_device(
+                jax.device_put(words),
+                jax.device_put(raw_words if raw_words is not None
+                               else _EMPTY_I32),
                 carry, np.int32(valid),
                 tb.cos_table, tb.window, tb.norm,
                 K=chunk, C=C, n=n,
+                budget=budget, rbudget=rbudget,
                 max_q=cfg.max_q, window_raw=window_raw,
+                use_pallas=cfg.use_pallas,
                 out_i16=True, out_frames=out_frames,
             )
             handles.append((hops_d, valid))
@@ -342,16 +383,8 @@ class Decoder:
         tail_f = np.asarray(carry).T.reshape(-1)       # [n*C] interleaved f32
         tail = convert_f32_to_i16(tail_f)
         all_samples = np.concatenate(parts + [tail]) if parts else tail
-
-        gi = encoded.gapless_info
-        delay = gi.encoder_delay
-        if not self.config.reference_compat:
-            delay *= C
-        if len(all_samples) > delay:
-            all_samples = all_samples[delay:]
-        if len(all_samples) > gi.original_length:
-            all_samples = all_samples[: gi.original_length]
-        return all_samples
+        return gapless_trim(all_samples, encoded.gapless_info, C,
+                            self.config.reference_compat)
 
     # --- synchronous decode + gapless trim (codec.rs:744-768) ---
 
@@ -370,17 +403,6 @@ class Decoder:
             if chunk.is_last:
                 break
         all_samples = np.concatenate(parts) if parts else np.empty(0, np.float32)
-
-        gi = encoded.gapless_info
-        delay = gi.encoder_delay
-        if not self.config.reference_compat:
-            # Clean mode: the lead-in is per-channel, so the interleaved
-            # stream must drop delay × channels samples (fixes Q1).
-            delay *= encoded.header.channels
-        original_length = gi.original_length
-        # Mirror the reference's guarded drain/truncate exactly (codec.rs:756-767)
-        if len(all_samples) > delay:
-            all_samples = all_samples[delay:]
-        if len(all_samples) > original_length:
-            all_samples = all_samples[:original_length]
-        return all_samples
+        return gapless_trim(all_samples, encoded.gapless_info,
+                            encoded.header.channels,
+                            self.config.reference_compat)

@@ -11,14 +11,15 @@ The reference parallelizes over frames with rayon (codec.rs:462); here the
 frame axis is the batch axis of one jitted device call per segment.
 
 Transfer-minimal design (the host↔device link, not the MXU, is the bottleneck
-off-chip): the host uploads the *padded signal* once per segment (framing and
-its 2× overlap duplication happen on device), the device compacts the sparse
-quantized result into one packed int32 array (~4 bytes per kept coefficient)
-plus one packed per-frame stats array, and only raw-PCM rows of frames that
-chose the fallback come back at full width.  Segments are dispatched
-asynchronously so uploads, compute, and downloads pipeline on the link.  A
-dense-transfer fallback covers segments whose kept-coefficient count exceeds
-the compaction budget.
+off-chip — and it has high per-transfer latency, so transfer COUNT matters as
+much as bytes): the host uploads the padded signal ONCE per file and it stays
+resident in HBM; each segment program slices it with a dynamic start (framing
+and the 2× overlap duplication happen on device).  The device compacts the
+sparse quantized result into one packed int32 array (~4 bytes per kept
+coefficient) plus one packed per-frame stats array — one adaptive download
+per segment — and only raw-PCM rows of frames that chose the fallback come
+back at full width.  A dense-transfer fallback covers segments whose
+kept-coefficient count exceeds the compaction budget.
 """
 
 from __future__ import annotations
@@ -157,13 +158,41 @@ class Encoder:
         # DeviceTables field order matches encode_signal_device's parameters
         tables = tuple(tb)
 
-        # Segment the hop axis: a segment of `k` frames needs (k+1)*hop
-        # signal samples (1-hop overlap between segments).  Greedy binary
-        # decomposition (largest power-of-two ≤ remaining, floored at 512)
-        # keeps upload volume within ~2% of the true signal size while XLA
-        # compiles only O(log) distinct shapes.
+        # Segment plan: greedy binary decomposition of the frame axis
+        # (largest power-of-two ≤ remaining, floored at 512) — O(log)
+        # distinct compiled shapes.  A segment of `k` frames covers hops
+        # [start, start+k+1) of the signal.
+        #
+        # The signal is uploaded ONCE and stays resident in HBM; each
+        # segment program slices it with a dynamic start.  The link here
+        # has high per-transfer latency (measured: 3 segment uploads of the
+        # same total bytes cost 1.7× one upload), so minimizing transfer
+        # count is worth as much as minimizing bytes.
         max_chunk = cfg.encode_chunk_frames
         min_chunk = min(512, max_chunk)
+        plan = []  # (start, valid, seg_chunk)
+        start = 0
+        while start < F:
+            remaining = F - start
+            if remaining < min_chunk:
+                seg_chunk = _pow2_bucket(remaining, min_chunk)
+            else:
+                seg_chunk = min_chunk
+                while seg_chunk * 2 <= remaining and seg_chunk * 2 <= max_chunk:
+                    seg_chunk *= 2
+            plan.append((start, min(seg_chunk, remaining), seg_chunk))
+            start += seg_chunk
+
+        # The last segment's slice may reach past the padded signal (its
+        # bucket rounds up); extend with zeros once, host-side (cheap), so
+        # every device slice is in bounds.
+        last_start, _, last_chunk = plan[-1]
+        need = (last_start + last_chunk + 1) * hop
+        if padded.shape[1] < need:
+            ext = np.zeros((C, need), dtype)
+            ext[:, : padded.shape[1]] = padded
+            padded = ext
+        xfull_dev = jax.device_put(padded)
 
         nnz_all = np.empty((F, C), np.int64)
         scales_all = np.empty((F, C), np.float32)
@@ -172,13 +201,13 @@ class Encoder:
         raw_parts = []
         stats_width = 2 * C + 1
 
-        # Segments are dispatched ahead of collection so uploads, compute,
-        # and downloads pipeline on the link, with a bounded in-flight
-        # window so very long files cannot exhaust HBM with live buffers.
-        segs = []  # (start, valid, seg_chunk, seg_dev, out_d, budget)
+        # Segments are dispatched ahead of collection so compute and
+        # downloads pipeline on the link, with a bounded in-flight window
+        # so very long files cannot exhaust HBM with live buffers.
+        segs = []  # (start, valid, seg_chunk, out_d, budget)
 
         def collect(rec):
-            start, valid, seg_chunk, seg_dev, out_d, budget = rec
+            start, valid, seg_chunk, out_d, budget = rec
             S = seg_chunk * stats_width
             # One transfer fetches the stats prefix plus a guessed number of
             # packed pairs; a second fetch happens only when the guess was
@@ -221,7 +250,8 @@ class Encoder:
                 # use_raw are taken from the dense program too, keeping the
                 # container self-consistent (pairs segmented by nnz).
                 q_d, nnz2_d, scale2_d, use_raw2_d = encode_signal_dense_device(
-                    seg_dev, *tables, **params
+                    xfull_dev, np.int32(start), *tables,
+                    k_frames=seg_chunk, **params
                 )
                 q_np = np.asarray(q_d)[:valid]
                 nnz_all[start : start + valid] = np.asarray(nnz2_d)[:valid]
@@ -235,37 +265,28 @@ class Encoder:
                 pair_parts.append(pairs)
 
             if use_raw[:valid].any():
-                ridx = np.flatnonzero(use_raw[:valid]).astype(np.int32)
+                # absolute frame indices into the resident signal
+                ridx = (start + np.flatnonzero(use_raw[:valid])).astype(
+                    np.int32
+                )
                 rbudget = _pow2_bucket(len(ridx), seg_chunk)
                 idx_pad = np.zeros(rbudget, np.int32)
                 idx_pad[: len(ridx)] = ridx
                 rows = np.asarray(
-                    gather_raw_device(seg_dev, idx_pad, tb.window, pcm16=pcm16)
+                    gather_raw_device(xfull_dev, idx_pad, tb.window,
+                                      pcm16=pcm16)
                 )[: len(ridx)]
                 # channel-major flatten — the reference's actual storage
                 # layout (codec.rs:471-503, quirk Q13)
                 raw_parts.append(rows.reshape(-1, C * frame_size))
 
-        start = 0
-        while start < F:
-            remaining = F - start
-            if remaining < min_chunk:
-                seg_chunk = _pow2_bucket(remaining, min_chunk)
-            else:
-                seg_chunk = min_chunk
-                while seg_chunk * 2 <= remaining and seg_chunk * 2 <= max_chunk:
-                    seg_chunk *= 2
-            valid = min(seg_chunk, remaining)
-            seg = np.zeros((C, (seg_chunk + 1) * hop), dtype)
-            src = padded[:, start * hop : (start + seg_chunk + 1) * hop]
-            seg[:, : src.shape[1]] = src
-            seg_dev = jax.device_put(seg)
+        for start, valid, seg_chunk in plan:
             budget = max(seg_chunk * C * n // 8, 1 << 14)
             out_d = encode_signal_device(
-                seg_dev, *tables, budget=budget, **params
+                xfull_dev, np.int32(start), *tables,
+                k_frames=seg_chunk, budget=budget, **params
             )
-            segs.append((start, valid, seg_chunk, seg_dev, out_d, budget))
-            start += seg_chunk
+            segs.append((start, valid, seg_chunk, out_d, budget))
             if len(segs) > 4:
                 collect(segs.pop(0))
 

@@ -33,22 +33,38 @@ def blocks_from_frames(
     *,
     max_q: float = 32768.0,
     window_raw: bool = False,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Dequantize + IMDCT + window + raw-PCM select → blocks [..., C, 2n].
 
     Pure local math (no cross-frame coupling) — reused verbatim inside
     shard_map bodies by glc_tpu.parallel.sharded.
+
+    use_pallas=True routes the IMDCT+window through the fused Pallas kernel
+    (measured −27% on the transform on a v5e; ±ULP output differences vs
+    the XLA einsum, hence opt-in — see ops/pallas_kernels.py).
     """
     sc = jnp.maximum(scales, np.float32(1e-12))
     coeffs = (q.astype(jnp.float32) / np.float32(max_q)) * sc[..., None]
-    out = imdct(coeffs, cos_table, norm) * window
+    n = coeffs.shape[-1]
+    rows = int(np.prod(coeffs.shape[:-1]))
+    if use_pallas and rows % 128 == 0:
+        from .pallas_kernels import imdct_fused
+
+        out = imdct_fused(
+            coeffs.reshape(rows, n), cos_table, window,
+            jnp.asarray(norm, jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        ).reshape(*coeffs.shape[:-1], 2 * n)
+    else:
+        out = imdct(coeffs, cos_table, norm) * window
     raw_f = raw_pcm.astype(jnp.float32) / np.float32(32767.0)
     if window_raw:
         raw_f = raw_f * window
     return jnp.where(is_raw[..., None, None], raw_f, out)
 
 
-@partial(jax.jit, static_argnames=("max_q", "window_raw"))
+@partial(jax.jit, static_argnames=("max_q", "window_raw", "use_pallas"))
 def decode_chunk_device(
     q: jnp.ndarray,          # [K, C, n] int16 dense quantized coeffs
     scales: jnp.ndarray,     # [K, C] f32
@@ -62,6 +78,7 @@ def decode_chunk_device(
     *,
     max_q: float = 32768.0,
     window_raw: bool = False,
+    use_pallas: bool = False,
 ):
     """Returns (hops f32 [K, C, n], new_carry f32 [C, n]).
 
@@ -77,7 +94,7 @@ def decode_chunk_device(
 
     blocks = blocks_from_frames(
         q, scales, raw_pcm, is_raw, cos_table, window, norm,
-        max_q=max_q, window_raw=window_raw,
+        max_q=max_q, window_raw=window_raw, use_pallas=use_pallas,
     )
 
     first = blocks[..., :n]
@@ -88,16 +105,13 @@ def decode_chunk_device(
     return hops, new_carry
 
 
-@partial(jax.jit, static_argnames=("K", "C", "n", "max_q", "window_raw",
+@partial(jax.jit, static_argnames=("K", "C", "n", "budget", "rbudget",
+                                   "max_q", "window_raw", "use_pallas",
                                    "out_i16", "out_frames"))
-def decode_chunk_sparse_device(
-    pos: jnp.ndarray,        # [budget] int32 flat positions into [K*C*n]
-                             #   (fill entries point past the end → dropped)
-    vals: jnp.ndarray,       # [budget] int16 quantized values
-    scales: jnp.ndarray,     # [K, C] f32
-    raw_rows: jnp.ndarray,   # [R, C, frame_size] int16 raw frames only
-    raw_idx: jnp.ndarray,    # [R] int32 frame indices (fill entries = K)
-    is_raw: jnp.ndarray,     # [K] bool
+def decode_chunk_packed_device(
+    words: jnp.ndarray,      # [budget + K*C//2 + K*C + K] int32 — see layout
+    raw_words: jnp.ndarray,  # [rbudget + rbudget*C*frame_size//2] int32, or
+                             #   a [0] placeholder when rbudget == 0
     carry: jnp.ndarray,      # [C, n] f32
     num_valid: jnp.ndarray,  # scalar i32
     cos_table: jnp.ndarray,
@@ -107,14 +121,37 @@ def decode_chunk_sparse_device(
     K: int,
     C: int,
     n: int,
+    budget: int,
+    rbudget: int,
     max_q: float = 32768.0,
     window_raw: bool = False,
+    use_pallas: bool = False,
     out_i16: bool = False,
     out_frames: int = 0,
 ):
-    """Transfer-minimal decode: the host uploads sparse (position, value)
-    pairs and only the raw frames that exist; the dense scatter happens in
-    HBM.  Same math as `decode_chunk_device` afterwards.
+    """Transfer-minimal decode: the host uploads ONE packed int32 buffer per
+    chunk (plus one raw-frame buffer only when raw frames exist) and the
+    dense scatter happens in HBM.  The link here has high per-transfer
+    latency, so collapsing the former six uploads (pos/vals/scales/raw_rows/
+    raw_idx/is_raw) into one buys more than the bytes suggest.
+
+    `words` layout (all sections 4-byte aligned, sizes static):
+      * [0 : budget)                 — kv words: (k << 16) | (q & 0xFFFF),
+        the stream-ordered (index, value) pairs — the same packed format
+        the encoder downloads.  Fill entries carry k = 0xFFFF (≥ n) and
+        are dropped.  The pair→frame mapping is NOT uploaded: it is
+        reconstructed on device from the nnz section (scatter row-starts +
+        cumsum), because stream order is row-major over (frame, channel)
+        (codec.rs:462-541).
+      * [budget : budget + K*C//2)   — per-(frame,channel) nnz as packed
+        u16 pairs (row-major).
+      * [... : ... + K*C)            — bitcast f32 scales [K, C].
+      * [... : ... + K)              — is_raw flags (0/1).
+
+    `raw_words` layout when rbudget > 0:
+      * [0 : rbudget)                — raw frame indices (fill = K, dropped)
+      * [rbudget : )                 — raw rows [rbudget, C, 2n] as packed
+        i16 pairs.
 
     out_i16=True applies the exporters' f32→i16 conversion on device
     (×32767, clamp, truncate toward zero — audio.rs:9-16) before download,
@@ -126,18 +163,56 @@ def decode_chunk_sparse_device(
     link.
     """
     frame_size = 2 * n
+    o0 = budget
+    o1 = o0 + (K * C) // 2
+    o2 = o1 + K * C
+    kv = words[:o0]
+    nnz = jax.lax.bitcast_convert_type(
+        words[o0:o1], jnp.uint16
+    ).reshape(K * C).astype(jnp.int32)
+    scales = jax.lax.bitcast_convert_type(
+        words[o1:o2], jnp.float32
+    ).reshape(K, C)
+    is_raw = words[o2 : o2 + K] != 0
+
+    # pair → (frame·channel) row mapping: pairs are stream-ordered, so row
+    # boundaries are the exclusive cumsum of nnz; scatter-add a 1 at each
+    # row start, cumsum over the budget axis → row index per pair.  Empty
+    # rows stack their starts (add, not set) and are skipped correctly.
+    ends = jnp.cumsum(nnz)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
+    fc = (
+        jnp.cumsum(
+            jnp.zeros(budget, jnp.int32).at[starts].add(1, mode="drop")
+        )
+        - 1
+    )
+    k = (kv >> 16) & 0xFFFF
+    v16 = kv & 0xFFFF
+    vals = jnp.where(v16 >= 32768, v16 - 65536, v16).astype(jnp.int16)
+    # out-of-range k (reference skips them, codec.rs:661) and fill slots
+    # (k = 0xFFFF) must not leak into a neighboring row's coefficients
+    pos = jnp.where(k < n, fc * n + k, K * C * n)
+
     q = (
         jnp.zeros(K * C * n, jnp.int16)
         .at[pos].set(vals, mode="drop")
         .reshape(K, C, n)
     )
-    raw = (
-        jnp.zeros((K, C, frame_size), jnp.int16)
-        .at[raw_idx].set(raw_rows, mode="drop")
-    )
+    if rbudget:
+        raw_idx = raw_words[:rbudget]
+        raw_rows = jax.lax.bitcast_convert_type(
+            raw_words[rbudget:], jnp.int16
+        ).reshape(rbudget, C, frame_size)
+        raw = (
+            jnp.zeros((K, C, frame_size), jnp.int16)
+            .at[raw_idx].set(raw_rows, mode="drop")
+        )
+    else:
+        raw = jnp.zeros((K, C, frame_size), jnp.int16)
     hops, new_carry = decode_chunk_device(
         q, scales, raw, is_raw, carry, num_valid, cos_table, window, norm,
-        max_q=max_q, window_raw=window_raw,
+        max_q=max_q, window_raw=window_raw, use_pallas=use_pallas,
     )
     if out_frames:
         hops = hops[:out_frames]
