@@ -15,6 +15,7 @@ matrices to shard and no layer pipeline — documenting that is part of the
 design (SURVEY.md §5 "long-context/sequence parallelism").
 """
 
+from .album import decode_album_sharded, encode_album_sharded
 from .mesh import make_mesh
 from .sharded import (
     decode_chunk_sharded,
@@ -27,4 +28,6 @@ __all__ = [
     "encode_chunk_sharded",
     "decode_chunk_sharded",
     "roundtrip_step_sharded",
+    "encode_album_sharded",
+    "decode_album_sharded",
 ]
