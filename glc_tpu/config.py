@@ -44,6 +44,12 @@ class CodecConfig:
     encode_chunk_frames: int = 4096
     decode_chunk_frames: int = 4096
 
+    # Fused Pallas IMDCT+window kernel on the decode path (measured −27% on
+    # the transform on a v5e, ops/pallas_kernels.py).  Off by default: its
+    # accumulation order differs from the XLA einsum by ULPs, and byte-level
+    # determinism of f32 decode output across code paths wins by default.
+    use_pallas: bool = False
+
     @property
     def n(self) -> int:
         """Number of MDCT coefficients per frame (= hop_size)."""

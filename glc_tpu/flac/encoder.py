@@ -31,10 +31,12 @@ from . import bitpack
 from .ops import flac_block_stats, flac_block_stats_host, rice_params_from_sums
 
 # The fixed-predictor/Rice math is exact integer arithmetic; it runs on host
-# by default because the residual values must come back to the host for bit
-# packing anyway, and shipping them over a slow host↔device link costs far
-# more than the k-fold diff (the device kernel flac_block_stats is the same
-# math for device-resident data; set GLC_FLAC_DEVICE_MATH=1 to use it here).
+# by default because the samples must be host-resident regardless (MD5 +
+# bit packing are inherently host work), so the device kernel only ADDS a
+# full round-trip of blocks up / residuals down.  Measured on the real chip
+# (60 s stereo, level 5): host 233 ms vs device 1650 ms — host wins 7× on
+# this link.  The device kernel (flac_block_stats, same math) stays for
+# fast-interconnect deployments: set GLC_FLAC_DEVICE_MATH=1.
 _USE_DEVICE_MATH = os.environ.get("GLC_FLAC_DEVICE_MATH") == "1"
 
 

@@ -1,21 +1,24 @@
-"""Pallas TPU kernels for the codec's hot ops.
+"""Pallas TPU kernel for the decode-side hot op.
 
-The XLA path (ops/mdct.py) is already matmul-shaped; these kernels fuse the
-surrounding elementwise work into the matmul so intermediate tensors
-(windowed blocks, dense |coeffs|) never round-trip HBM:
+The XLA path (ops/mdct.py) is already matmul-shaped; this kernel fuses the
+synthesis window into the IMDCT matmul so the [B, 2n] block tensor never
+round-trips HBM between the matmul and the elementwise multiply.  The 8 MB
+cosine table stays resident in VMEM across a grid of frame tiles, each tile
+streaming through the MXU.
 
-* `mdct_fused` — window · MDCT-matmul · per-row abs-max scale in one pass.
-  The 8 MB cosine table stays resident in VMEM across a grid of frame tiles,
-  each tile streaming [TILE_B, 2N] samples through the MXU.
+Measured on a v5e (B=8192 rows, 30-iteration mean):
+  * imdct+window: XLA 2.77 ms → pallas 2.01 ms  (−27%, kept — wired into
+    the decode path behind ``CodecConfig(use_pallas=True)``)
+  * an equivalent fused mdct+window+scale encode kernel measured 2.58 ms
+    vs XLA's 2.29 ms (XLA's own fusion already wins) and was deleted.
 
-Numerics: f32 matmuls at Precision.HIGHEST (without it Mosaic lowers the
-operands to bf16 on the MXU — 2e-3 error; with it the kernels match the XLA
-path within ~5e-7).  Accumulation order still differs by ULPs from the XLA
-einsum, so these kernels are standalone (exercised by tests and benchmarks,
-not wired into the container pipeline) to keep byte-level determinism of
-.glc output across code paths; the XLA path remains the production default.
+Numerics: f32 matmul at Precision.HIGHEST (without it Mosaic lowers the
+operands to bf16 on the MXU — 2e-3 error; with it the kernel matches the
+XLA path within ~5e-7).  Accumulation order still differs by ULPs from the
+XLA einsum, which is why ``use_pallas`` defaults to False: the f32 decode
+output stays bit-identical across code paths unless explicitly opted in.
 
-Falls back to interpret mode on CPU (tests run there).
+Falls back to interpret mode off-TPU (tests run on CPU).
 """
 
 from __future__ import annotations
@@ -27,81 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-
-def _mdct_kernel(x_ref, table_ref, window_ref, norm_ref, coeffs_ref, scale_ref):
-    """One grid step: [TILE_B, 2n] samples → [TILE_B, n] coeffs + row scale.
-
-    Mirrors reference src/codec.rs:358-374 (dot products × norm) fused with
-    the windowing of codec.rs:477-481 and the scale reduction of
-    codec.rs:488.
-    """
-    win = x_ref[:] * window_ref[:]
-    coeffs = jax.lax.dot_general(
-        win, table_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * norm_ref[0]
-    coeffs_ref[:] = coeffs
-    scale_ref[:] = jnp.maximum(
-        jnp.max(jnp.abs(coeffs), axis=-1, keepdims=True),
-        np.float32(1e-10),
-    )
-
-
-@partial(jax.jit, static_argnames=("tile_b", "interpret"))
-def mdct_fused(
-    blocks2d: jnp.ndarray,   # [B, 2n] f32 un-windowed rows (B % tile_b == 0)
-    cos_table: jnp.ndarray,  # [n, 2n] f32
-    window: jnp.ndarray,     # [2n] f32
-    norm: jnp.ndarray,       # scalar f32
-    *,
-    tile_b: int = 128,
-    interpret: bool = False,
-):
-    """Fused window+MDCT+scale over a batch of rows.
-
-    Returns (coeffs [B, n] f32, scale [B] f32).  VMEM budget per step:
-    8 MB table + tile_b·(2n·4 + n·4) ≈ 8 MB + 1.5 MB at tile_b=128 plus
-    double-buffering — inside the ~16 MB/core VMEM (256 exceeds it).
-    """
-    B, frame = blocks2d.shape
-    n = cos_table.shape[0]
-    if B % tile_b != 0:
-        raise ValueError(f"B={B} not a multiple of tile_b={tile_b}")
-
-    grid = (B // tile_b,)
-    coeffs, scale = pl.pallas_call(
-        _mdct_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_b, frame), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, frame), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((frame,), lambda i: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((tile_b, n), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, n), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * n * frame,
-            bytes_accessed=(B * frame + n * frame + B * n) * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(blocks2d, cos_table, window, jnp.reshape(norm, (1,)))
-    return coeffs, scale.reshape(B)
 
 
 def _imdct_kernel(c_ref, table_ref, window_ref, norm_ref, out_ref):

@@ -1,31 +1,16 @@
-"""Pallas fused kernels vs the XLA path (interpret mode on CPU)."""
+"""Fused Pallas IMDCT kernel vs the XLA path (interpret mode on CPU), and
+the CodecConfig(use_pallas=True) decode integration."""
 
 import numpy as np
 import pytest
 
-from glc_tpu.ops.mdct import get_mdct_tables, mdct, imdct
-from glc_tpu.ops.pallas_kernels import imdct_fused, mdct_fused
+from glc_tpu.ops.mdct import get_mdct_tables, imdct
+from glc_tpu.ops.pallas_kernels import imdct_fused
 
 
 @pytest.fixture(scope="module")
 def tables():
     return get_mdct_tables(1024, 2048)
-
-
-def test_mdct_fused_matches_xla(tables):
-    rng = np.random.default_rng(0)
-    B = 512
-    blocks = rng.standard_normal((B, 2048)).astype(np.float32) * 0.2
-    win = blocks * tables.window
-    ref = np.asarray(mdct(win, tables.cos_table, tables.norm))
-    ref_scale = np.maximum(np.abs(ref).max(axis=-1), 1e-10)
-
-    coeffs, scale = mdct_fused(
-        blocks, tables.cos_table, tables.window,
-        np.float32(tables.norm), tile_b=256, interpret=True,
-    )
-    np.testing.assert_allclose(np.asarray(coeffs), ref, atol=2e-5, rtol=2e-5)
-    np.testing.assert_allclose(np.asarray(scale), ref_scale, rtol=2e-5)
 
 
 def test_imdct_fused_matches_xla(tables):
@@ -42,10 +27,29 @@ def test_imdct_fused_matches_xla(tables):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
 
 
-def test_mdct_fused_rejects_ragged_batch(tables):
+def test_imdct_fused_rejects_ragged_batch(tables):
     with pytest.raises(ValueError):
-        mdct_fused(
-            np.zeros((100, 2048), np.float32), tables.cos_table,
+        imdct_fused(
+            np.zeros((100, 1024), np.float32), tables.cos_table,
             tables.window, np.float32(tables.norm), tile_b=256,
             interpret=True,
         )
+
+
+def test_use_pallas_decode_end_to_end():
+    """CodecConfig(use_pallas=True) must decode to the same waveform as the
+    XLA path within the documented ULP tolerance."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from utils import generate_sine_wave
+
+    from glc_tpu import Decoder, Encoder
+    from glc_tpu.config import CodecConfig
+
+    s = generate_sine_wave(440.0, 44100, 1, 0.5)
+    ea = Encoder(44100).encode(s, 1)
+    out_xla = Decoder(1, 44100).decode(ea)
+    out_pal = Decoder(1, 44100, config=CodecConfig(use_pallas=True)).decode(ea)
+    assert len(out_pal) == len(out_xla)
+    np.testing.assert_allclose(out_pal, out_xla, atol=3e-6, rtol=3e-5)
