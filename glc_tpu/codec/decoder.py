@@ -25,7 +25,7 @@ import numpy as np
 
 from ..config import CodecConfig, DEFAULT_CONFIG
 from ..container.schema import AudioChunk, EncodedAudio, FrameSet, Progress
-from ..ops.decode import decode_chunk_packed_device
+from ..ops.decode import decode_chunk_packed_device, take_prefix_device
 from .tables import chunk_size_for, get_device_tables, pow2_bucket
 
 ProgressSender = Callable[[Progress], None]
@@ -302,6 +302,8 @@ class Decoder:
                 window_raw=window_raw,
                 use_pallas=cfg.use_pallas,
             )
+            # device-side prefix slice: chunk padding never crosses the link
+            hops = take_prefix_device(hops, valid)
             prev, inflight = inflight, (hops, valid)
             if prev is not None:
                 drain(prev)
@@ -358,7 +360,6 @@ class Decoder:
             words, raw_words, budget, rbudget = _packed_slices(
                 fs, start, valid, chunk, n, cfg.reference_compat
             )
-            out_frames = 0 if valid == chunk else _pow2_bucket(valid, chunk)
             hops_d, carry = decode_chunk_packed_device(
                 jax.device_put(words),
                 jax.device_put(raw_words if raw_words is not None
@@ -369,9 +370,9 @@ class Decoder:
                 budget=budget, rbudget=rbudget,
                 max_q=cfg.max_q, window_raw=window_raw,
                 use_pallas=cfg.use_pallas,
-                out_i16=True, out_frames=out_frames,
+                out_i16=True,
             )
-            handles.append((hops_d, valid))
+            handles.append((take_prefix_device(hops_d, valid), valid))
             # bound in-flight device memory while keeping the pipeline deep
             if len(handles) > 8:
                 collect(handles.pop(0))

@@ -158,36 +158,38 @@ class Encoder:
         # DeviceTables field order matches encode_signal_device's parameters
         tables = tuple(tb)
 
-        # Segment plan: greedy binary decomposition of the frame axis
-        # (largest power-of-two ≤ remaining, floored at 512) — O(log)
-        # distinct compiled shapes.  A segment of `k` frames covers hops
-        # [start, start+k+1) of the signal.
+        # Segment plan: ONE bucket size K = pow2(F) capped at max_chunk, so
+        # one compiled program serves the whole file and short files finish
+        # in a single dispatch + a single adaptive download.  Files longer
+        # than max_chunk advance in K-frame steps; a ragged tail is handled
+        # by pulling the LAST segment back to end exactly at F (segments may
+        # overlap — the signal is resident, frames are independent, and the
+        # host skips the already-collected prefix of the overlapped
+        # segment's pair stream).
         #
         # The signal is uploaded ONCE and stays resident in HBM; each
         # segment program slices it with a dynamic start.  The link here
         # has high per-transfer latency (measured: 3 segment uploads of the
-        # same total bytes cost 1.7× one upload), so minimizing transfer
-        # count is worth as much as minimizing bytes.
+        # same total bytes cost 1.7× one upload, and each small download
+        # costs ~40 ms), so minimizing transfer COUNT is worth as much as
+        # minimizing bytes — padding the frame count up to one power-of-two
+        # bucket trades cheap MXU compute for expensive transfers.
         max_chunk = cfg.encode_chunk_frames
-        min_chunk = min(512, max_chunk)
-        plan = []  # (start, valid, seg_chunk)
-        start = 0
-        while start < F:
-            remaining = F - start
-            if remaining < min_chunk:
-                seg_chunk = _pow2_bucket(remaining, min_chunk)
-            else:
-                seg_chunk = min_chunk
-                while seg_chunk * 2 <= remaining and seg_chunk * 2 <= max_chunk:
-                    seg_chunk *= 2
-            plan.append((start, min(seg_chunk, remaining), seg_chunk))
-            start += seg_chunk
+        K = _pow2_bucket(F, max_chunk)
+        plan = [i * K for i in range(F // K)]  # segment starts
+        if F % K or not plan:
+            plan.append(max(F - K, 0))
 
         # The last segment's slice may reach past the padded signal (its
         # bucket rounds up); extend with zeros once, host-side (cheap), so
-        # every device slice is in bounds.
-        last_start, _, last_chunk = plan[-1]
-        need = (last_start + last_chunk + 1) * hop
+        # every device slice is in bounds.  The resident length must also be
+        # a hop multiple: gather_raw_device reshapes the WHOLE signal into
+        # hops, and frame_signal's padding ends mid-hop (trailing hop/2,
+        # codec.rs:434-447).
+        need = max(
+            (plan[-1] + K + 1) * hop,
+            ((padded.shape[1] + hop - 1) // hop) * hop,
+        )
         if padded.shape[1] < need:
             ext = np.zeros((C, need), dtype)
             ext[:, : padded.shape[1]] = padded
@@ -204,40 +206,46 @@ class Encoder:
         # Segments are dispatched ahead of collection so compute and
         # downloads pipeline on the link, with a bounded in-flight window
         # so very long files cannot exhaust HBM with live buffers.
-        segs = []  # (start, valid, seg_chunk, out_d, budget)
+        budget = max(K * C * n // 8, 1 << 14)
+        segs = []  # (start, skip, valid, out_d)
 
         def collect(rec):
-            start, valid, seg_chunk, out_d, budget = rec
-            S = seg_chunk * stats_width
+            # Frames [start+skip, start+valid) are this segment's
+            # contribution; [start, start+skip) were already collected by
+            # the previous segment (tail overlap) — their pairs sit at the
+            # FRONT of this segment's packed stream and are skipped.
+            start, skip, valid, out_d = rec
+            S = K * stats_width
             # One transfer fetches the stats prefix plus a guessed number of
             # packed pairs; a second fetch happens only when the guess was
             # short (the guess adapts per (channels, chunk) key).
-            guess = self._pair_guess.get((C, seg_chunk), max(budget // 8,
-                                                            1 << 14))
+            guess = self._pair_guess.get((C, K), max(budget // 8, 1 << 14))
             cut0 = _pow2_bucket(guess, budget)
             first = np.asarray(out_d[: S + cut0])
-            stats = first[:S].reshape(seg_chunk, stats_width)
+            stats = first[:S].reshape(K, stats_width)
             nnz = stats[:, :C].astype(np.int64)
             scale = stats[:, C : 2 * C].view(np.float32)
             use_raw = stats[:, 2 * C] != 0
 
             seg_total = int(nnz.sum())
-            nnz_v = nnz[:valid]
-            total = int(nnz_v.sum())
-            self._pair_guess[(C, seg_chunk)] = seg_total + seg_total // 4 + 1
+            skip_pairs = int(nnz[:skip].sum())
+            wanted = int(nnz[skip:valid].sum())
+            self._pair_guess[(C, K)] = seg_total + seg_total // 4 + 1
 
-            nnz_all[start : start + valid] = nnz_v
-            scales_all[start : start + valid] = scale[:valid]
-            raw_mask_all[start : start + valid] = use_raw[:valid]
+            nnz_all[start + skip : start + valid] = nnz[skip:valid]
+            scales_all[start + skip : start + valid] = scale[skip:valid]
+            raw_mask_all[start + skip : start + valid] = use_raw[skip:valid]
 
-            if total > 0 and seg_total <= budget:
-                if seg_total > cut0:
-                    cut = _pow2_bucket(seg_total, budget)
+            if wanted > 0 and seg_total <= budget:
+                need = skip_pairs + wanted
+                if need > cut0:
+                    cut = _pow2_bucket(need, budget)
                     tail = np.asarray(out_d[S + cut0 : S + cut])
-                    packed = np.concatenate([first[S:], tail])[:total]
+                    packed = np.concatenate([first[S:], tail])
                 else:
-                    packed = first[S : S + total]
-                pairs = np.empty(total, PAIR_DTYPE)
+                    packed = first[S:]
+                packed = packed[skip_pairs:need]
+                pairs = np.empty(wanted, PAIR_DTYPE)
                 pairs["k"] = (packed >> 16).astype(np.uint16)
                 pairs["q"] = (packed & 0xFFFF).astype(np.uint16).view(
                     np.int16
@@ -251,25 +259,31 @@ class Encoder:
                 # container self-consistent (pairs segmented by nnz).
                 q_d, nnz2_d, scale2_d, use_raw2_d = encode_signal_dense_device(
                     xfull_dev, np.int32(start), *tables,
-                    k_frames=seg_chunk, **params
+                    k_frames=K, **params
                 )
-                q_np = np.asarray(q_d)[:valid]
-                nnz_all[start : start + valid] = np.asarray(nnz2_d)[:valid]
-                scales_all[start : start + valid] = np.asarray(scale2_d)[:valid]
-                use_raw = np.asarray(use_raw2_d)[:valid]
-                raw_mask_all[start : start + valid] = use_raw
+                q_np = np.asarray(q_d)[skip:valid]
+                nnz_all[start + skip : start + valid] = (
+                    np.asarray(nnz2_d)[skip:valid]
+                )
+                scales_all[start + skip : start + valid] = (
+                    np.asarray(scale2_d)[skip:valid]
+                )
+                use_raw = np.asarray(use_raw2_d)
+                raw_mask_all[start + skip : start + valid] = (
+                    use_raw[skip:valid]
+                )
                 fidx, cidx, kpos = np.nonzero(q_np)
                 pairs = np.empty(len(kpos), PAIR_DTYPE)
                 pairs["k"] = kpos.astype(np.uint16)
                 pairs["q"] = q_np[fidx, cidx, kpos]
                 pair_parts.append(pairs)
 
-            if use_raw[:valid].any():
+            if use_raw[skip:valid].any():
                 # absolute frame indices into the resident signal
-                ridx = (start + np.flatnonzero(use_raw[:valid])).astype(
-                    np.int32
-                )
-                rbudget = _pow2_bucket(len(ridx), seg_chunk)
+                ridx = (
+                    start + skip + np.flatnonzero(use_raw[skip:valid])
+                ).astype(np.int32)
+                rbudget = _pow2_bucket(len(ridx), K)
                 idx_pad = np.zeros(rbudget, np.int32)
                 idx_pad[: len(ridx)] = ridx
                 rows = np.asarray(
@@ -280,13 +294,16 @@ class Encoder:
                 # layout (codec.rs:471-503, quirk Q13)
                 raw_parts.append(rows.reshape(-1, C * frame_size))
 
-        for start, valid, seg_chunk in plan:
-            budget = max(seg_chunk * C * n // 8, 1 << 14)
+        prev_end = 0
+        for start in plan:
+            valid = min(K, F - start)
+            skip = prev_end - start
+            prev_end = start + valid
             out_d = encode_signal_device(
                 xfull_dev, np.int32(start), *tables,
-                k_frames=seg_chunk, budget=budget, **params
+                k_frames=K, budget=budget, **params
             )
-            segs.append((start, valid, seg_chunk, out_d, budget))
+            segs.append((start, skip, valid, out_d))
             if len(segs) > 4:
                 collect(segs.pop(0))
 

@@ -22,6 +22,30 @@ import numpy as np
 from .mdct import imdct
 
 
+_PREFIX_GRAIN = 128
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _take_prefix(x: jnp.ndarray, *, k: int) -> jnp.ndarray:
+    return x[:k]
+
+
+def take_prefix_device(x: jnp.ndarray, valid: int) -> jnp.ndarray:
+    """Device-side prefix of the leading axis, bucketed to 128-frame
+    granularity so only O(K/128) tiny slice programs ever compile.
+
+    Downloading np.asarray(x)[:valid] would pull the chunk's padding frames
+    over the link (up to 6 MB of zeros for a 2584-frame file in a
+    4096-frame chunk); slicing on device first keeps the download within
+    one bucket (≤127 frames) of the real data.
+    """
+    K = x.shape[0]
+    k = min(-(-valid // _PREFIX_GRAIN) * _PREFIX_GRAIN, K)
+    if k >= K:
+        return x
+    return _take_prefix(x, k=k)
+
+
 def blocks_from_frames(
     q: jnp.ndarray,        # [..., C, n] int16
     scales: jnp.ndarray,   # [..., C] f32
@@ -107,7 +131,7 @@ def decode_chunk_device(
 
 @partial(jax.jit, static_argnames=("K", "C", "n", "budget", "rbudget",
                                    "max_q", "window_raw", "use_pallas",
-                                   "out_i16", "out_frames"))
+                                   "out_i16"))
 def decode_chunk_packed_device(
     words: jnp.ndarray,      # [budget + K*C//2 + K*C + K] int32 — see layout
     raw_words: jnp.ndarray,  # [rbudget + rbudget*C*frame_size//2] int32, or
@@ -127,7 +151,6 @@ def decode_chunk_packed_device(
     window_raw: bool = False,
     use_pallas: bool = False,
     out_i16: bool = False,
-    out_frames: int = 0,
 ):
     """Transfer-minimal decode: the host uploads ONE packed int32 buffer per
     chunk (plus one raw-frame buffer only when raw frames exist) and the
@@ -157,10 +180,8 @@ def decode_chunk_packed_device(
     (×32767, clamp, truncate toward zero — audio.rs:9-16) before download,
     halving output transfer for file-export paths (within 1 LSB of the
     host-side conversion; the differently-fused program can shift hops by
-    ±1 ulp).
-    out_frames>0 additionally slices the output to the first `out_frames`
-    frames on device (bucketed by the caller) so padding never crosses the
-    link.
+    ±1 ulp).  Callers download a prefix via `take_prefix_device` so chunk
+    padding never crosses the link.
     """
     frame_size = 2 * n
     o0 = budget
@@ -214,8 +235,6 @@ def decode_chunk_packed_device(
         q, scales, raw, is_raw, carry, num_valid, cos_table, window, norm,
         max_q=max_q, window_raw=window_raw, use_pallas=use_pallas,
     )
-    if out_frames:
-        hops = hops[:out_frames]
     if out_i16:
         # barriers pin both the f32 hops and the f32 product so XLA cannot
         # evaluate ×32767 in excess precision before trunc — keeps
