@@ -59,14 +59,47 @@ def export_playlist_to_flac(
     compression_level: int = 5,
     progress: Optional[Callable[[Progress], None]] = None,
 ) -> None:
-    """ui.rs:291-402 — decode all, concatenate, single FLAC export."""
-    from .flac.encoder import export_to_flac_i16_with_level
+    """ui.rs:291-402 — decode all, concatenate, single FLAC export.
 
-    samples, rate, channels = decode_playlist(paths, progress)
+    Streams each track's decoded chunks straight into the FLAC encoder, so
+    the host-side MD5/predictor/Rice work overlaps the device decode's
+    transfers (byte-identical to decode-everything-then-encode).
+    """
+    from .codec.decoder import Decoder
+    from .flac.encoder import encode_flac_i16_streaming
+
+    if not paths:
+        raise ValueError("empty playlist")
+    encodeds = []
+    rate = channels = None
+    for path in map(Path, paths):
+        encoded = load_encoded(path)
+        h = encoded.header
+        if rate is None:
+            rate, channels = h.sample_rate, h.channels
+        elif (h.sample_rate, h.channels) != (rate, channels):
+            raise ValueError(
+                f"{path.name}: {h.sample_rate} Hz/{h.channels}ch does not "
+                f"match playlist {rate} Hz/{channels}ch"
+            )
+        encodeds.append((path, encoded))
+
+    dec = Decoder(channels, rate)
+    total = sum(dec.decoded_length(ea) for _, ea in encodeds)
+
+    def chunks():
+        for i, (path, ea) in enumerate(encodeds):
+            if progress:
+                progress(Progress.status(f"Decoding {path.name}"))
+            yield from dec.decode_i16_stream(ea)
+            if progress:
+                progress(Progress.decoding((i + 1) / len(encodeds) * 100.0))
+
+    data = encode_flac_i16_streaming(chunks(), rate, channels,
+                                     compression_level, total // channels)
     if progress:
         progress(Progress.exporting(90.0))
-    export_to_flac_i16_with_level(out_path, samples, rate, channels,
-                                  compression_level)
+    Path(out_path).write_bytes(data)
     if progress:
         progress(Progress.complete(f"Exported {len(paths)} tracks"))
 

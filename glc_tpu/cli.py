@@ -89,7 +89,7 @@ def decode_file(input_path: Path, output_format: str, flac_level: int) -> None:
     """main.rs:54-113"""
     from .codec.decoder import Decoder
     from .container.bincode import load_encoded
-    from .flac.encoder import export_to_flac_i16_with_level
+    from .flac.encoder import encode_flac_i16_streaming
     from .io.wav import write_wav_i16
 
     print(f"Loading: {input_path.name!r}")
@@ -100,17 +100,26 @@ def decode_file(input_path: Path, output_format: str, flac_level: int) -> None:
     decoder = Decoder(encoded.header.channels, encoded.header.sample_rate)
     # decode straight to i16 on device — the exporters' conversion applied
     # before download (half the device→host transfer, ≤1 LSB of the f32 path)
+    if output_format == "flac":
+        # streaming export: MD5 + predictor/Rice math overlap the decode's
+        # device transfers; byte-identical to decode-then-encode
+        channels = encoded.header.channels
+        n_total = decoder.decoded_length(encoded)
+        data = encode_flac_i16_streaming(
+            decoder.decode_i16_stream(encoded),
+            encoded.header.sample_rate, channels, flac_level,
+            n_total // channels,
+        )
+        print(f"Decoded {n_total} samples")
+        output_path = input_path.with_suffix(".flac")
+        output_path.write_bytes(data)
+        print(f"Saved: {output_path.name!r} (FLAC, level {flac_level})")
+        return
+
     samples = decoder.decode_i16(encoded)
     print(f"Decoded {len(samples)} samples")
 
-    if output_format == "flac":
-        output_path = input_path.with_suffix(".flac")
-        export_to_flac_i16_with_level(
-            output_path, samples, encoded.header.sample_rate,
-            encoded.header.channels, flac_level,
-        )
-        print(f"Saved: {output_path.name!r} (FLAC, level {flac_level})")
-    elif output_format == "wav":
+    if output_format == "wav":
         output_path = input_path.with_suffix(".wav")
         write_wav_i16(output_path, samples, encoded.header.sample_rate,
                       encoded.header.channels)

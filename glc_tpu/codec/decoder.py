@@ -129,24 +129,31 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     return words, raw_words, budget, rbudget
 
 
-def gapless_trim(all_samples: np.ndarray, gapless_info, channels: int,
-                 reference_compat: bool) -> np.ndarray:
-    """The gapless trim of reference src/codec.rs:756-767: drain the encoder
-    delay, truncate to the original length — both guarded, both in
-    interleaved-sample units (quirk Q1).  Clean mode scales the delay by the
-    channel count so the per-channel lead-in is fully removed (fixes Q1).
+def gapless_trim_bounds(pre_len: int, gapless_info, channels: int,
+                        reference_compat: bool):
+    """(skip, limit) of the gapless trim of reference src/codec.rs:756-767:
+    drain the encoder delay, truncate to the original length — both guarded,
+    both in interleaved-sample units (quirk Q1).  Clean mode scales the
+    delay by the channel count so the per-channel lead-in is fully removed
+    (fixes Q1).
 
-    Single source of truth for every decode surface (`decode`, `decode_i16`,
-    future streaming-trim modes): a trim change lands once, here.
+    Single source of truth for every decode surface (`decode`,
+    `decode_i16_stream`, and length prediction): a trim change lands once,
+    here.  The trimmed stream is `full[skip : skip + limit]`.
     """
     delay = gapless_info.encoder_delay
     if not reference_compat:
         delay *= channels
-    if len(all_samples) > delay:
-        all_samples = all_samples[delay:]
-    if len(all_samples) > gapless_info.original_length:
-        all_samples = all_samples[: gapless_info.original_length]
-    return all_samples
+    skip = delay if pre_len > delay else 0
+    limit = min(gapless_info.original_length, pre_len - skip)
+    return skip, limit
+
+
+def gapless_trim(all_samples: np.ndarray, gapless_info, channels: int,
+                 reference_compat: bool) -> np.ndarray:
+    skip, limit = gapless_trim_bounds(len(all_samples), gapless_info,
+                                      channels, reference_compat)
+    return all_samples[skip : skip + limit]
 
 
 class Decoder:
@@ -331,13 +338,17 @@ class Decoder:
 
     # --- fast non-streaming decode to int16 (export path) ---
 
-    def decode_i16(self, encoded: EncodedAudio) -> np.ndarray:
-        """Decode straight to int16 with the exporters' conversion applied on
-        device (trunc(clip(x·32767)), audio.rs:9-16) — equal to
-        `convert_f32_to_i16(self.decode(encoded))` within 1 LSB (the
-        separately compiled program can shift the f32 hops by ±1 ulp), at
-        half the download and with a deep dispatch pipeline (the device
-        chains the carry without host round-trips)."""
+    def decode_i16_stream(self, encoded: EncodedAudio):
+        """Generator of gapless-trimmed int16 interleaved chunks, in stream
+        order, with the exporters' conversion applied on device
+        (trunc(clip(x·32767)), audio.rs:9-16).
+
+        Streaming form of `decode_i16`: consumers (the FLAC exporter) can
+        overlap their host work with the device decode's transfers.  The
+        trim is applied incrementally — the guarded drain/truncate of
+        codec.rs:756-767 needs the pre-trim total, which is exact up front:
+        (F+1)·n·C interleaved samples (F hops plus the overlap tail).
+        """
         cfg = self.config
         n, C = cfg.n, encoded.header.channels
         fs = encoded.frame_set
@@ -347,12 +358,27 @@ class Decoder:
         carry = jax.device_put(np.zeros((C, n), np.float32))
         window_raw = not cfg.reference_compat
 
-        parts = []
+        pre_len = (F + 1) * n * C
+        skip, limit = gapless_trim_bounds(
+            pre_len, encoded.gapless_info, C, cfg.reference_compat
+        )
+        emitted = 0
+
+        def trim(flat):
+            nonlocal skip, emitted
+            if skip:
+                cut = min(skip, len(flat))
+                flat = flat[cut:]
+                skip -= cut
+            if emitted + len(flat) > limit:
+                flat = flat[: limit - emitted]
+            emitted += len(flat)
+            return flat
 
         def collect(handle):
             hops_d, valid = handle
             hops = np.asarray(hops_d)[:valid]          # [valid, C, n] i16
-            parts.append(hops.transpose(0, 2, 1).reshape(-1))
+            return trim(hops.transpose(0, 2, 1).reshape(-1))
 
         handles = []
         for start in range(0, F, chunk):
@@ -375,17 +401,44 @@ class Decoder:
             handles.append((take_prefix_device(hops_d, valid), valid))
             # bound in-flight device memory while keeping the pipeline deep
             if len(handles) > 8:
-                collect(handles.pop(0))
+                out = collect(handles.pop(0))
+                if len(out):
+                    yield out
 
-        for handle in handles:
-            collect(handle)
         from ..io.audio import convert_f32_to_i16
 
+        for handle in handles:
+            out = collect(handle)
+            if len(out):
+                yield out
         tail_f = np.asarray(carry).T.reshape(-1)       # [n*C] interleaved f32
-        tail = convert_f32_to_i16(tail_f)
-        all_samples = np.concatenate(parts + [tail]) if parts else tail
-        return gapless_trim(all_samples, encoded.gapless_info, C,
-                            self.config.reference_compat)
+        tail = trim(convert_f32_to_i16(tail_f))
+        if len(tail):
+            yield tail
+
+    def decoded_length(self, encoded: EncodedAudio) -> int:
+        """Exact post-trim interleaved sample count of `decode`/`decode_i16`
+        output, without decoding: the pre-trim length is (F+1)·n·C (F hops
+        plus the overlap tail, quirk Q12) and the trim bounds are
+        deterministic."""
+        C = encoded.header.channels
+        F = encoded.frame_set.num_frames
+        pre_len = (F + 1) * self.config.n * C
+        _skip, limit = gapless_trim_bounds(
+            pre_len, encoded.gapless_info, C, self.config.reference_compat
+        )
+        return limit
+
+    def decode_i16(self, encoded: EncodedAudio) -> np.ndarray:
+        """Decode straight to int16 — equal to
+        `convert_f32_to_i16(self.decode(encoded))` within 1 LSB (the
+        separately compiled program can shift the f32 hops by ±1 ulp), at
+        half the download and with a deep dispatch pipeline (the device
+        chains the carry without host round-trips)."""
+        parts = list(self.decode_i16_stream(encoded))
+        if not parts:
+            return np.empty(0, np.int16)
+        return np.concatenate(parts)
 
     # --- synchronous decode + gapless trim (codec.rs:744-768) ---
 

@@ -150,7 +150,14 @@ def encode_flac_i16_with_level(
     block_sizes, residuals, rice_params = _compute_frame_data(
         i16, channels, compression_level
     )
+    return _pack(i16, channels, sample_rate, compression_level, md5,
+                 block_sizes, residuals, rice_params)
 
+
+def _pack(i16, channels, sample_rate, compression_level, md5,
+          block_sizes, residuals, rice_params) -> bytes:
+    """Assemble the FLAC byte stream: native single-pass packer when the
+    library is available, byte-identical Python fallback otherwise."""
     lib = get_native()
     if lib is not None:
         c = ctypes
@@ -182,6 +189,125 @@ def encode_flac_i16_with_level(
         i16, channels, sample_rate, compression_level, md5,
         block_sizes, residuals, rice_params,
     )
+
+
+def encode_flac_i16_streaming(
+    chunks,
+    sample_rate: int,
+    channels: int,
+    compression_level: int,
+    total_per_channel: int,
+) -> bytes:
+    """Encode from an iterator of int16 interleaved chunks, byte-identical
+    to `encode_flac_i16_with_level` over their concatenation.
+
+    The MD5 and the per-block predictor/Rice math run incrementally as
+    chunks arrive, so a producer that is waiting on device transfers (the
+    decode→export path, `Decoder.decode_i16_stream`) overlaps this host
+    work with its own stalls.  Only the final bit-packing sees the whole
+    stream (it needs every residual anyway), and it is unchanged — which is
+    what guarantees byte identity.
+
+    `total_per_channel` must be the exact final per-channel sample count
+    (known up front from the container header): the block size depends on
+    it (flac.rs:983-995), so it cannot be inferred mid-stream.
+    """
+    if total_per_channel < 16:
+        raise FlacError(
+            f"FLAC requires at least 16 samples per channel, got "
+            f"{total_per_channel}"
+        )
+    if not (0 <= compression_level <= 8):
+        raise FlacError(
+            f"Invalid compression level {compression_level}, must be 0-8"
+        )
+    bs = max(min(_LEVEL_BLOCK_SIZE[compression_level], total_per_channel), 16)
+    group = bs * channels * 16  # process 16 blocks at a time
+
+    md5 = hashlib.md5()
+    parts = []
+    pending = []
+    pending_len = 0
+    res_parts = []
+    rp_parts = []
+
+    def process(buf: np.ndarray):
+        """buf: [G·bs·channels] interleaved — G whole blocks."""
+        G = len(buf) // (bs * channels)
+        blocks = (
+            buf.reshape(G, bs, channels).transpose(0, 2, 1).astype(np.int32)
+        )
+        order = bitpack.predictor_order(bs, compression_level)
+        po = bitpack.partition_order(bs, order, compression_level)
+        if order == 0:
+            res_parts.append(np.zeros(G * channels * bs, np.int32))
+            rp_parts.append(np.zeros(G * channels * (1 << po), np.int8))
+            return
+        flat = blocks.reshape(G * channels, bs)
+        res_full, lo, hi = flac_block_stats_host(flat, order=order, po=po)
+        res_parts.append(res_full.reshape(-1))
+        rp_parts.append(rice_params_from_sums(lo, hi, bs, order, po).reshape(-1))
+
+    for chunk in chunks:
+        chunk = np.asarray(chunk, np.int16)
+        md5.update(chunk.astype("<i2").tobytes())
+        parts.append(chunk)
+        pending.append(chunk)
+        pending_len += len(chunk)
+        while pending_len >= group:
+            buf = np.concatenate(pending) if len(pending) > 1 else pending[0]
+            process(buf[:group])
+            rest = buf[group:]
+            pending = [rest] if len(rest) else []
+            pending_len = len(rest)
+
+    i16 = np.concatenate(parts) if parts else np.empty(0, np.int16)
+    total = len(i16) // channels
+    if total != total_per_channel:
+        raise FlacError(
+            f"stream length {total} != declared total {total_per_channel}"
+        )
+    # remaining whole blocks, then the partial tail block (flac.rs:1021-1049)
+    if pending_len:
+        buf = np.concatenate(pending) if len(pending) > 1 else pending[0]
+        whole = (len(buf) // (bs * channels)) * bs * channels
+        if whole:
+            process(buf[:whole])
+        tail = buf[whole:]
+        last = len(tail) // channels
+        if last > 0:
+            blocks = (
+                tail.reshape(1, last, channels)
+                .transpose(0, 2, 1)
+                .astype(np.int32)
+            )
+            order = bitpack.predictor_order(last, compression_level)
+            po = bitpack.partition_order(last, order, compression_level)
+            if order == 0:
+                res_parts.append(np.zeros(channels * last, np.int32))
+                rp_parts.append(np.zeros(channels * (1 << po), np.int8))
+            else:
+                flat = blocks.reshape(channels, last)
+                res_full, lo, hi = flac_block_stats_host(flat, order=order,
+                                                         po=po)
+                res_parts.append(res_full.reshape(-1))
+                rp_parts.append(
+                    rice_params_from_sums(lo, hi, last, order, po).reshape(-1)
+                )
+
+    F0 = total // bs
+    last = total - F0 * bs
+    block_sizes = np.asarray(
+        [bs] * F0 + ([last] if last > 0 else []), np.int32
+    )
+    residuals = (
+        np.concatenate(res_parts) if res_parts else np.empty(0, np.int32)
+    )
+    rice_params = (
+        np.concatenate(rp_parts) if rp_parts else np.empty(0, np.int8)
+    )
+    return _pack(i16, channels, sample_rate, compression_level,
+                 md5.digest(), block_sizes, residuals, rice_params)
 
 
 def encode_flac(samples: np.ndarray, sample_rate: int, channels: int) -> bytes:
