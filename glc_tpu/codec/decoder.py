@@ -64,6 +64,37 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
 
     pair_start = int(fs.nnz[:start].sum())
     P = int(nnz.sum())
+    pairs = fs.pairs[pair_start : pair_start + P] if P else fs.pairs[:0]
+    if P:
+        # The reference's sequential scatter is last-wins on duplicate
+        # indices (codec.rs:660-663); the device scatter is order-
+        # unspecified, so duplicates must be resolved host-side.  And the
+        # upload carries nnz as uint16 (the device rebuilds the pair→row
+        # mapping from it), so rows with > 65535 pairs must shrink.  Both
+        # only happen in malformed streams — well-formed ones are strictly
+        # increasing per (frame, channel) with ≤ n pairs, so this O(P)
+        # check is all that runs — and both imply duplicates, so one
+        # rewrite handles them: physically drop all but the LAST of each
+        # duplicate position and recount nnz (equivalent by last-wins;
+        # ≤ n+1 distinct positions remain per row, well under 2^16).
+        # Dedup key: row stride n+1 gives out-of-range k (clamped to n) a
+        # slot of its own per row, so OOB pairs never alias a neighboring
+        # row's k=0 (the device drops OOB regardless).
+        flat_fc = np.repeat(np.arange(count * C), nnz.reshape(-1))
+        p = flat_fc * (n + 1) + np.minimum(pairs["k"].astype(np.int64), n)
+        if P > 1 and not (np.diff(p) > 0).all():
+            dup = np.zeros(P, bool)
+            order = np.argsort(p, kind="stable")
+            ps = p[order]
+            dup_sorted = np.concatenate([ps[1:] == ps[:-1], [False]])
+            dup[order] = dup_sorted  # True for all but the LAST of each run
+            keep = ~dup
+            pairs = pairs[keep]
+            nnz = np.bincount(
+                flat_fc[keep], minlength=count * C
+            ).reshape(count, C).astype(np.int64)
+            P = len(pairs)
+
     # power-of-two upload shapes, capped at the dense maximum — keeps the
     # set of compiled decode programs O(log), not one per pair count
     budget = _pow2_bucket(P, K * C * n)
@@ -72,30 +103,11 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     kv = words[:budget].view(np.uint32)
     kv[:] = 0xFFFF0000  # fill: k = 0xFFFF ≥ n → dropped by the device
     if P:
-        pairs = fs.pairs[pair_start : pair_start + P]
         kidx = pairs["k"].astype(np.uint32)
         kv[:P] = (kidx << 16) | pairs["q"].view(np.uint16).astype(np.uint32)
-        # The reference's sequential scatter is last-wins on duplicate
-        # indices (codec.rs:660-663); the device scatter is order-
-        # unspecified, so mark all but the last duplicate dropped (k=0xFFFF)
-        # host-side.  Well-formed streams are strictly increasing per
-        # (frame, channel), so the check is O(P) and the dedup path never
-        # runs for them.  (The nnz section stays untouched — the device's
-        # pair→row mapping counts dropped slots too.)
-        # dedup key: row stride n+1 gives out-of-range k (clamped to n) a
-        # slot of its own per row, so OOB pairs never alias a neighboring
-        # row's k=0 (the device drops them regardless)
-        flat_fc = np.repeat(np.arange(count * C), nnz.reshape(-1))
-        p = flat_fc * (n + 1) + np.minimum(kidx.astype(np.int64), n)
-        if P > 1 and not (np.diff(p) > 0).all():
-            dup = np.zeros(P, bool)
-            order = np.argsort(p, kind="stable")
-            ps = p[order]
-            dup_sorted = np.concatenate([ps[1:] == ps[:-1], [False]])
-            dup[order] = dup_sorted  # True for all but the LAST of each run
-            kv[:P] = np.where(dup, np.uint32(0xFFFF0000), kv[:P])
 
     nnz_sec = words[budget : budget + (K * C) // 2].view(np.uint16)
+    assert int(nnz.max(initial=0)) < (1 << 16)
     nnz_sec[: count * C] = nnz.reshape(-1).astype(np.uint16)
     nnz_sec[count * C :] = 0
     o1 = budget + (K * C) // 2

@@ -145,14 +145,13 @@ class CodecController:
         def work():
             from .playback import (
                 audio_device_available,
+                drive_playlist,
                 ffplay_available,
                 open_sink,
-                stream_playlist_sources,
             )
 
             sink_factory = self._sink_factory or open_sink
-            sink = None
-            sink_params = None
+            errored = False
             try:
                 if self._sink_factory is None and not (
                     audio_device_available() or ffplay_available()
@@ -161,30 +160,24 @@ class CodecController:
                     return
 
                 def on_file(path, rate, channels):
-                    nonlocal sink, sink_params
                     self.set_status(f"Playing {path.name}")
-                    params = (rate, channels)
-                    if params != sink_params:
-                        if sink is not None:
-                            sink.close()
-                        sink = sink_factory(*params)
-                        sink_params = params
 
                 def on_error(path, err):
+                    nonlocal errored
+                    errored = True
                     self.set_status("Decode error", err)
+                    # a decode error ends GUI playback (the old view-thread
+                    # returned here), leaving the error status visible
+                    self._stop_playback.set()
 
-                for source in stream_playlist_sources(
-                    files, stop=self._stop_playback,
-                    on_file=on_file, on_error=on_error,
-                ):
-                    if not sink.append(source):
-                        break
-                self.set_status("Playback finished")
+                drive_playlist(files, sink_factory,
+                               stop=self._stop_playback,
+                               on_file=on_file, on_error=on_error)
+                if not errored:
+                    self.set_status("Playback finished")
             except Exception as e:
                 self.set_status("Playback error", str(e))
             finally:
-                if sink is not None:
-                    sink.close()
                 with self._lock:
                     self._playing = False
 

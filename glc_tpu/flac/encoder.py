@@ -48,8 +48,32 @@ _LEVEL_BLOCK_SIZE = {0: 1152, 1: 1152, 2: 1152, 3: 4096, 4: 4096, 5: 4096,
                      6: 4096, 7: 4096, 8: 4096}
 
 
+def _block_group_stats(x_blocks: np.ndarray, gbs: int, level: int):
+    """Residuals + Rice params for a group of deinterleaved blocks
+    [Fg, C, gbs] int32.  Returns (res flat int32, params flat int8) in the
+    packer's layout.  The single home of the predictor/Rice math dispatch —
+    used by the batch framer and both streaming paths."""
+    order = bitpack.predictor_order(gbs, level)
+    po = bitpack.partition_order(gbs, order, level)
+    Fg, C, _ = x_blocks.shape
+    if order == 0:
+        return (np.zeros(Fg * C * gbs, np.int32),
+                np.zeros(Fg * C * (1 << po), np.int8))
+    flat = x_blocks.reshape(Fg * C, gbs)
+    if _USE_DEVICE_MATH:
+        res_full, lo, hi = flac_block_stats(
+            jax.device_put(flat), order=order, po=po
+        )
+        res_full, lo, hi = (np.asarray(res_full), np.asarray(lo),
+                            np.asarray(hi))
+    else:
+        res_full, lo, hi = flac_block_stats_host(flat, order=order, po=po)
+    params = rice_params_from_sums(lo, hi, gbs, order, po)
+    return res_full.reshape(-1), params.reshape(-1)
+
+
 def _compute_frame_data(i16: np.ndarray, channels: int, level: int):
-    """Frame the stream and run the device math.
+    """Frame the stream and run the block math.
 
     Returns (block_sizes int32 [F], residuals flat int32, rice_params flat
     int8) in the packer's layout: residuals frame-major then channel-major
@@ -66,29 +90,6 @@ def _compute_frame_data(i16: np.ndarray, channels: int, level: int):
 
     res_parts = []
     rp_parts = []
-
-    def run_group(x_blocks: np.ndarray, gbs: int):
-        """x_blocks: [Fg, C, gbs] int32 deinterleaved blocks."""
-        order = bitpack.predictor_order(gbs, level)
-        po = bitpack.partition_order(gbs, order, level)
-        Fg, C, _ = x_blocks.shape
-        if order == 0:
-            res_parts.append(np.zeros(Fg * C * gbs, np.int32))
-            rp_parts.append(np.zeros(Fg * C * (1 << po), np.int8))
-            return
-        flat = x_blocks.reshape(Fg * C, gbs)
-        if _USE_DEVICE_MATH:
-            res_full, lo, hi = flac_block_stats(
-                jax.device_put(flat), order=order, po=po
-            )
-            res_full, lo, hi = (np.asarray(res_full), np.asarray(lo),
-                                np.asarray(hi))
-        else:
-            res_full, lo, hi = flac_block_stats_host(flat, order=order, po=po)
-        res_parts.append(res_full.reshape(-1))
-        params = rice_params_from_sums(lo, hi, gbs, order, po)
-        rp_parts.append(params.reshape(-1))
-
     if F0 > 0:
         full = (
             i16[: F0 * bs * channels]
@@ -96,7 +97,9 @@ def _compute_frame_data(i16: np.ndarray, channels: int, level: int):
             .transpose(0, 2, 1)
             .astype(np.int32)
         )
-        run_group(full, bs)
+        r, p = _block_group_stats(full, bs, level)
+        res_parts.append(r)
+        rp_parts.append(p)
     if last > 0:
         part = (
             i16[F0 * bs * channels : (F0 * bs + last) * channels]
@@ -104,7 +107,9 @@ def _compute_frame_data(i16: np.ndarray, channels: int, level: int):
             .transpose(0, 2, 1)
             .astype(np.int32)
         )
-        run_group(part, last)
+        r, p = _block_group_stats(part, last, level)
+        res_parts.append(r)
+        rp_parts.append(p)
 
     residuals = (
         np.concatenate(res_parts) if res_parts else np.empty(0, np.int32)
@@ -237,16 +242,9 @@ def encode_flac_i16_streaming(
         blocks = (
             buf.reshape(G, bs, channels).transpose(0, 2, 1).astype(np.int32)
         )
-        order = bitpack.predictor_order(bs, compression_level)
-        po = bitpack.partition_order(bs, order, compression_level)
-        if order == 0:
-            res_parts.append(np.zeros(G * channels * bs, np.int32))
-            rp_parts.append(np.zeros(G * channels * (1 << po), np.int8))
-            return
-        flat = blocks.reshape(G * channels, bs)
-        res_full, lo, hi = flac_block_stats_host(flat, order=order, po=po)
-        res_parts.append(res_full.reshape(-1))
-        rp_parts.append(rice_params_from_sums(lo, hi, bs, order, po).reshape(-1))
+        r, p = _block_group_stats(blocks, bs, compression_level)
+        res_parts.append(r)
+        rp_parts.append(p)
 
     for chunk in chunks:
         chunk = np.asarray(chunk, np.int16)
@@ -276,24 +274,18 @@ def encode_flac_i16_streaming(
         tail = buf[whole:]
         last = len(tail) // channels
         if last > 0:
+            # slice exactly last*channels — a ragged interleaved stream
+            # (len % channels != 0, which frame_signal accepts on encode)
+            # leaves a fractional sample the batch framer also drops
             blocks = (
-                tail.reshape(1, last, channels)
+                tail[: last * channels]
+                .reshape(1, last, channels)
                 .transpose(0, 2, 1)
                 .astype(np.int32)
             )
-            order = bitpack.predictor_order(last, compression_level)
-            po = bitpack.partition_order(last, order, compression_level)
-            if order == 0:
-                res_parts.append(np.zeros(channels * last, np.int32))
-                rp_parts.append(np.zeros(channels * (1 << po), np.int8))
-            else:
-                flat = blocks.reshape(channels, last)
-                res_full, lo, hi = flac_block_stats_host(flat, order=order,
-                                                         po=po)
-                res_parts.append(res_full.reshape(-1))
-                rp_parts.append(
-                    rice_params_from_sums(lo, hi, last, order, po).reshape(-1)
-                )
+            r, p = _block_group_stats(blocks, last, compression_level)
+            res_parts.append(r)
+            rp_parts.append(p)
 
     F0 = total // bs
     last = total - F0 * bs

@@ -75,7 +75,14 @@ def encode_album_sharded(
         # 50%-overlap framing (codec.rs:462-481, un-windowed; the window is
         # applied inside encode_math).  The padded length is hop-aligned
         # plus the trailing hop/2 (codec.rs:434-447), so frame by stride,
-        # not reshape.
+        # not reshape.  Very short tracks pad to less than one frame_size —
+        # zero-extend so every frame's window is in bounds (the serial
+        # encoder extends its resident signal the same way).
+        need = (F - 1) * hop + frame_size
+        if padded.shape[1] < need:
+            ext = np.zeros((C, need), padded.dtype)
+            ext[:, : padded.shape[1]] = padded
+            padded = ext
         win = np.lib.stride_tricks.sliding_window_view(
             padded, frame_size, axis=1
         )[:, ::hop]                                   # [C, F', 2n]

@@ -306,6 +306,48 @@ def open_sink(sample_rate: int, channels: int):
     return FfplaySink(sample_rate, channels)
 
 
+def drive_playlist(
+    file_paths: List[Path],
+    sink_factory: Callable[[int, int], object],
+    stop: Optional[threading.Event] = None,
+    on_file: Optional[Callable[[Path, int, int], None]] = None,
+    on_error: Optional[Callable[[Path, str], None]] = None,
+) -> bool:
+    """The shared gapless-playback loop behind the CLI player and the GUI
+    controller: one sink fed every SamplesSource chunk, restarted on
+    rate/channel changes (the reference's rodio resamples per source,
+    main.rs:152-161; our sinks are fixed-format, so gapless joins are
+    preserved within runs of matching formats).
+
+    Returns True if the playlist drained, False if a sink write failed.
+    `on_file`/`on_error` are forwarded to `stream_playlist_sources`.
+    """
+    sink = None
+    sink_params = None
+
+    def open_for(path: Path, rate: int, channels: int) -> None:
+        nonlocal sink, sink_params
+        if on_file is not None:
+            on_file(path, rate, channels)
+        params = (rate, channels)
+        if params != sink_params:
+            if sink is not None:
+                sink.close()
+            sink = sink_factory(*params)
+            sink_params = params
+
+    try:
+        for source in stream_playlist_sources(file_paths, stop=stop,
+                                              on_file=open_for,
+                                              on_error=on_error):
+            if not sink.append(source):
+                return False
+        return True
+    finally:
+        if sink is not None:
+            sink.close()
+
+
 def play_files_gapless(
     file_paths: List[Path],
     sink_factory: Optional[Callable[[int, int], object]] = None,
@@ -329,38 +371,18 @@ def play_files_gapless(
             raise RuntimeError("Playback not available")
         sink_factory = open_sink
 
-    sink = None
-    sink_params = None
-
     def on_file(path: Path, rate: int, channels: int) -> None:
-        nonlocal sink, sink_params
         print(f"Loading: {path.name!r}")
         print(f"Queueing: {rate} Hz, {channels} channels")
-        params = (rate, channels)
-        if params != sink_params:
-            # The reference's rodio resamples per source (main.rs:152-161);
-            # our sinks are fixed-format, so a rate/channel change restarts
-            # the sink (gapless joins are preserved within runs of matching
-            # formats).
-            if sink is not None:
-                sink.close()
-            sink = sink_factory(*params)
-            sink_params = params
 
     def on_error(path: Path, err: str) -> None:
         # continue with the next playlist entry, like the reference's
         # closed-channel recv loop (main.rs:152-161)
         print(f"Error decoding {path.name}: {err}", file=sys.stderr)
 
-    try:
-        for source in stream_playlist_sources(file_paths, stop=stop,
-                                              on_file=on_file,
-                                              on_error=on_error):
-            if not sink.append(source):
-                return
-        print(f"Playing {len(file_paths)} files gaplessly. "
-              "Press Ctrl+C to stop.")
-    finally:
-        if sink is not None:
-            sink.close()
+    if not drive_playlist(file_paths, sink_factory, stop=stop,
+                          on_file=on_file, on_error=on_error):
+        return
+    print(f"Playing {len(file_paths)} files gaplessly. "
+          "Press Ctrl+C to stop.")
     print("Playback finished")
