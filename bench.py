@@ -160,6 +160,27 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # --- album encode (pipelined multi-file: upload of file i+1 overlaps
+    # compute+download of file i) ---
+    track = np.clip(
+        make_signal(15.0, sample_rate) * 32767.0, -32768, 32767
+    ).astype(np.int16)
+    tracks = [(track, 2)] * 4  # 4 × 15 s = the same 60 s of audio
+    encs = enc.encode_many(tracks)  # warmup (same bucket as 15 s singles)
+    best_a, med_a, _ = timed(
+        lambda: [serialize_encoded(e) for e in enc.encode_many(tracks)]
+    )
+    emit("album_encode_realtime_factor_44k_stereo", duration_s, best_a, med_a)
+    best_s, med_s, _ = timed(
+        lambda: [serialize_encoded(enc.encode_pcm16(t, c))
+                 for t, c in tracks]
+    )
+    print(
+        f"# album 4x15s stereo: pipelined {best_a*1000:.1f} ms vs serial "
+        f"{best_s*1000:.1f} ms ({best_s/best_a:.2f}x)",
+        file=sys.stderr,
+    )
+
     # --- diagnostics: device-compute-only realtime factor + compaction path ---
     try:
         from glc_tpu.codec.encoder import frame_signal

@@ -135,9 +135,41 @@ class Encoder:
         from ..profiling import maybe_trace
 
         with maybe_trace("encode"):
-            return self._encode_traced(samples, channels, pcm16=pcm16)
+            return self._dispatch_encode(samples, channels, pcm16=pcm16)()
 
-    def _encode_traced(self, samples, channels: int, *, pcm16: bool) -> EncodedAudio:
+    def encode_many(self, items) -> list:
+        """Pipelined multi-file encode: `items` is a sequence of
+        (samples, channels) — int16 arrays take the exact pcm16 fast path,
+        float arrays the f32 path.  Returns a list of EncodedAudio.
+
+        File i+1's upload and device dispatch are issued BEFORE file i's
+        results are downloaded, so on the link (the binding resource here)
+        one file's compute+download overlaps the next file's upload —
+        album-scale throughput approaches the pure upload rate.  Results
+        are bit-identical to per-file `encode`/`encode_pcm16` calls.
+        """
+        results = []
+        finishers = []
+        for samples, channels in items:
+            samples = np.asarray(samples)
+            pcm16 = samples.dtype == np.int16
+            if not pcm16 and np.issubdtype(samples.dtype, np.integer):
+                raise TypeError(
+                    "encode_many expects float PCM or int16 arrays"
+                )
+            if not pcm16:
+                samples = samples.astype(np.float32, copy=False)
+            finishers.append(
+                self._dispatch_encode(samples, channels, pcm16=pcm16)
+            )
+            # keep two files in flight: enough to overlap, bounded HBM
+            if len(finishers) > 2:
+                results.append(finishers.pop(0)())
+        for finish in finishers:
+            results.append(finish())
+        return results
+
+    def _dispatch_encode(self, samples, channels: int, *, pcm16: bool):
         cfg = self.config
         hop, frame_size, n = cfg.hop_size, cfg.frame_size, cfg.n
         C = int(channels)
@@ -307,26 +339,34 @@ class Encoder:
             if len(segs) > 4:
                 collect(segs.pop(0))
 
-        for rec in segs:
-            collect(rec)
+        def finish() -> EncodedAudio:
+            """Drain the remaining segment downloads and assemble the
+            container.  Deferred so `encode_many` can dispatch the NEXT
+            file's upload before this file's downloads start."""
+            for rec in segs:
+                collect(rec)
+            segs.clear()
 
-        pairs_all = (
-            np.concatenate(pair_parts) if pair_parts else np.empty(0, PAIR_DTYPE)
-        )
-        raw_all = (
-            np.concatenate(raw_parts)
-            if raw_parts
-            else np.empty((0, C * frame_size), np.int16)
-        )
+            pairs_all = (
+                np.concatenate(pair_parts) if pair_parts
+                else np.empty(0, PAIR_DTYPE)
+            )
+            raw_all = (
+                np.concatenate(raw_parts)
+                if raw_parts
+                else np.empty((0, C * frame_size), np.int16)
+            )
 
-        fs = FrameSet(nnz_all, pairs_all, scales_all, raw_mask_all, raw_all,
-                      frame_size)
-        return EncodedAudio(
-            header=AudioHeader(self.sample_rate, C, total_samples),
-            frame_set=fs,
-            gapless_info=GaplessInfo(
-                encoder_delay=hop // 2,
-                padding=padding,
-                original_length=total_samples,
-            ),
-        )
+            fs = FrameSet(nnz_all, pairs_all, scales_all, raw_mask_all,
+                          raw_all, frame_size)
+            return EncodedAudio(
+                header=AudioHeader(self.sample_rate, C, total_samples),
+                frame_set=fs,
+                gapless_info=GaplessInfo(
+                    encoder_delay=hop // 2,
+                    padding=padding,
+                    original_length=total_samples,
+                ),
+            )
+
+        return finish

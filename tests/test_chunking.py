@@ -50,6 +50,34 @@ def test_decode_chunking_invariance():
     assert (diff != 0).mean() < 1e-3
 
 
+def test_encode_many_matches_serial():
+    """Pipelined multi-file encode (file i+1 uploaded before file i's
+    downloads) must produce bit-identical containers to per-file calls,
+    across mixed i16/f32 inputs and lengths."""
+    from utils import generate_sine_wave
+
+    enc = Encoder(44100)
+    f32_a = generate_sine_wave(440.0, 44100, 2, 0.4)
+    f32_b = generate_sine_wave(660.0, 44100, 1, 1.1)
+    i16_c = np.clip(
+        generate_sine_wave(880.0, 44100, 2, 0.3) * 32767.0, -32768, 32767
+    ).astype(np.int16)
+    f32_d = generate_sine_wave(220.0, 44100, 1, 0.05)
+
+    many = enc.encode_many(
+        [(f32_a, 2), (f32_b, 1), (i16_c, 2), (f32_d, 1)]
+    )
+    singles = [
+        enc.encode(f32_a, 2),
+        enc.encode(f32_b, 1),
+        enc.encode_pcm16(i16_c, 2),
+        enc.encode(f32_d, 1),
+    ]
+    assert len(many) == 4
+    for got, want in zip(many, singles):
+        assert serialize_encoded(got) == serialize_encoded(want)
+
+
 def test_compaction_matches_reference_order():
     """_compact_pairs (sort-free cumsum+scatter) must reproduce the exact
     stream order of a host global compaction — row-major over
