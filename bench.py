@@ -166,7 +166,7 @@ def main() -> None:
         make_signal(15.0, sample_rate) * 32767.0, -32768, 32767
     ).astype(np.int16)
     tracks = [(track, 2)] * 4  # 4 × 15 s = the same 60 s of audio
-    encs = enc.encode_many(tracks)  # warmup (same bucket as 15 s singles)
+    enc.encode_many(tracks)  # warmup (same bucket as 15 s singles)
     best_a, med_a, _ = timed(
         lambda: [serialize_encoded(e) for e in enc.encode_many(tracks)]
     )

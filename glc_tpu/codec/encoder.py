@@ -90,6 +90,17 @@ def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig,
 _pow2_bucket = pow2_bucket
 
 
+def zero_extend(padded: np.ndarray, need: int) -> np.ndarray:
+    """Zero-extend the signal's sample axis to `need` (no-op when long
+    enough).  Shared by the serial encoder's resident-signal extension and
+    the sharded album framer so the two paths cannot diverge."""
+    if padded.shape[1] >= need:
+        return padded
+    ext = np.zeros((padded.shape[0], need), padded.dtype)
+    ext[:, : padded.shape[1]] = padded
+    return ext
+
+
 class Encoder:
     """reference src/codec.rs:396-418.
 
@@ -163,7 +174,7 @@ class Encoder:
                 self._dispatch_encode(samples, channels, pcm16=pcm16)
             )
             # keep two files in flight: enough to overlap, bounded HBM
-            if len(finishers) > 2:
+            if len(finishers) > 1:
                 results.append(finishers.pop(0)())
         for finish in finishers:
             results.append(finish())
@@ -222,10 +233,7 @@ class Encoder:
             (plan[-1] + K + 1) * hop,
             ((padded.shape[1] + hop - 1) // hop) * hop,
         )
-        if padded.shape[1] < need:
-            ext = np.zeros((C, need), dtype)
-            ext[:, : padded.shape[1]] = padded
-            padded = ext
+        padded = zero_extend(padded, need)
         xfull_dev = jax.device_put(padded)
 
         nnz_all = np.empty((F, C), np.int64)

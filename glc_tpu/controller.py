@@ -170,11 +170,16 @@ class CodecController:
                     # returned here), leaving the error status visible
                     self._stop_playback.set()
 
-                drive_playlist(files, sink_factory,
-                               stop=self._stop_playback,
-                               on_file=on_file, on_error=on_error)
-                if not errored:
+                drained = drive_playlist(files, sink_factory,
+                                         stop=self._stop_playback,
+                                         on_file=on_file, on_error=on_error)
+                if errored:
+                    pass  # keep the "Decode error" status visible
+                elif drained:
                     self.set_status("Playback finished")
+                else:
+                    self.set_status("Playback error",
+                                    "audio sink write failed")
             except Exception as e:
                 self.set_status("Playback error", str(e))
             finally:

@@ -52,7 +52,12 @@ def _block_group_stats(x_blocks: np.ndarray, gbs: int, level: int):
     """Residuals + Rice params for a group of deinterleaved blocks
     [Fg, C, gbs] int32.  Returns (res flat int32, params flat int8) in the
     packer's layout.  The single home of the predictor/Rice math dispatch —
-    used by the batch framer and both streaming paths."""
+    used by the batch framer and both streaming paths.
+
+    GLC_FLAC_DEVICE_MATH=1 applies here too, which on the STREAMING path
+    means one device round-trip per 16-block group; that is intended — the
+    flag exists for fast-interconnect deployments, and on a slow link the
+    default (host math) is the right setting for both paths."""
     order = bitpack.predictor_order(gbs, level)
     po = bitpack.partition_order(gbs, order, level)
     Fg, C, _ = x_blocks.shape

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-from ..codec.encoder import frame_signal
+from ..codec.encoder import frame_signal, zero_extend
 from ..codec.decoder import gapless_trim
 from ..codec.tables import get_device_tables, pow2_bucket
 from ..config import CodecConfig, DEFAULT_CONFIG
@@ -77,12 +77,8 @@ def encode_album_sharded(
         # plus the trailing hop/2 (codec.rs:434-447), so frame by stride,
         # not reshape.  Very short tracks pad to less than one frame_size —
         # zero-extend so every frame's window is in bounds (the serial
-        # encoder extends its resident signal the same way).
-        need = (F - 1) * hop + frame_size
-        if padded.shape[1] < need:
-            ext = np.zeros((C, need), padded.dtype)
-            ext[:, : padded.shape[1]] = padded
-            padded = ext
+        # encoder extends its resident signal with the same helper).
+        padded = zero_extend(padded, (F - 1) * hop + frame_size)
         win = np.lib.stride_tricks.sliding_window_view(
             padded, frame_size, axis=1
         )[:, ::hop]                                   # [C, F', 2n]

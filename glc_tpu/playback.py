@@ -312,6 +312,7 @@ def drive_playlist(
     stop: Optional[threading.Event] = None,
     on_file: Optional[Callable[[Path, int, int], None]] = None,
     on_error: Optional[Callable[[Path, str], None]] = None,
+    on_drained: Optional[Callable[[], None]] = None,
 ) -> bool:
     """The shared gapless-playback loop behind the CLI player and the GUI
     controller: one sink fed every SamplesSource chunk, restarted on
@@ -321,6 +322,10 @@ def drive_playlist(
 
     Returns True if the playlist drained, False if a sink write failed.
     `on_file`/`on_error` are forwarded to `stream_playlist_sources`.
+    `on_drained` fires after the last chunk is written but BEFORE the sink
+    closes — sink close blocks until buffered audio finishes playing
+    (FfplaySink waits on the child process), so anything the user should
+    see during playback must print here.
     """
     sink = None
     sink_params = None
@@ -342,6 +347,8 @@ def drive_playlist(
                                               on_error=on_error):
             if not sink.append(source):
                 return False
+        if on_drained is not None:
+            on_drained()
         return True
     finally:
         if sink is not None:
@@ -380,9 +387,14 @@ def play_files_gapless(
         # closed-channel recv loop (main.rs:152-161)
         print(f"Error decoding {path.name}: {err}", file=sys.stderr)
 
+    def on_drained() -> None:
+        # printed while the sink is still playing its buffered tail — the
+        # Ctrl+C hint must appear during playback, not after it ends
+        print(f"Playing {len(file_paths)} files gaplessly. "
+              "Press Ctrl+C to stop.")
+
     if not drive_playlist(file_paths, sink_factory, stop=stop,
-                          on_file=on_file, on_error=on_error):
+                          on_file=on_file, on_error=on_error,
+                          on_drained=on_drained):
         return
-    print(f"Playing {len(file_paths)} files gaplessly. "
-          "Press Ctrl+C to stop.")
     print("Playback finished")
