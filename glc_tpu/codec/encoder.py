@@ -90,6 +90,21 @@ def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig,
 _pow2_bucket = pow2_bucket
 
 
+def _len_bucket(x: int) -> int:
+    """Smallest m·2^e ≥ x with 8 ≤ m < 16 (a 4-bit-mantissa ladder):
+    ≤ 12.5% overshoot, ≤ 8 distinct values per octave.  Quantizes the
+    resident-signal length for multi-segment files so the set of compiled
+    programs stays bounded — an exact length would recompile
+    encode_signal_device for every distinct file length."""
+    if x <= 16:
+        return 16
+    e = x.bit_length() - 4
+    m = -(-x >> e)  # ceil(x / 2^e)
+    if m >= 16:
+        return 8 << (e + 1)
+    return m << e
+
+
 def zero_extend(padded: np.ndarray, need: int) -> np.ndarray:
     """Zero-extend the signal's sample axis to `need` (no-op when long
     enough).  Shared by the serial encoder's resident-signal extension and
@@ -201,39 +216,43 @@ class Encoder:
         # DeviceTables field order matches encode_signal_device's parameters
         tables = tuple(tb)
 
-        # Segment plan: ONE bucket size K = pow2(F) capped at max_chunk, so
-        # one compiled program serves the whole file and short files finish
-        # in a single dispatch + a single adaptive download.  Files longer
-        # than max_chunk advance in K-frame steps; a ragged tail is handled
-        # by pulling the LAST segment back to end exactly at F (segments may
-        # overlap — the signal is resident, frames are independent, and the
-        # host skips the already-collected prefix of the overlapped
-        # segment's pair stream).
+        # Segment plan: full segments of K = pow2(F) capped at max_chunk,
+        # plus one pow2-bucketed tail segment for the remainder — short
+        # files finish in a single dispatch + a single adaptive download,
+        # and the tail never re-encodes frames (padding frames beyond F see
+        # zeros and encode to nnz=0, use_raw=false — free).
         #
         # The signal is uploaded ONCE and stays resident in HBM; each
         # segment program slices it with a dynamic start.  The link here
         # has high per-transfer latency (measured: 3 segment uploads of the
         # same total bytes cost 1.7× one upload, and each small download
         # costs ~40 ms), so minimizing transfer COUNT is worth as much as
-        # minimizing bytes — padding the frame count up to one power-of-two
+        # minimizing bytes — padding the frame count up to a power-of-two
         # bucket trades cheap MXU compute for expensive transfers.
         max_chunk = cfg.encode_chunk_frames
         K = _pow2_bucket(F, max_chunk)
-        plan = [i * K for i in range(F // K)]  # segment starts
-        if F % K or not plan:
-            plan.append(max(F - K, 0))
+        plan = [(i * K, K) for i in range(F // K)]  # (start, k_frames)
+        rem = F - (F // K) * K
+        if rem or not plan:
+            plan.append(((F // K) * K, _pow2_bucket(max(rem, 1), K)))
 
         # The last segment's slice may reach past the padded signal (its
         # bucket rounds up); extend with zeros once, host-side (cheap), so
         # every device slice is in bounds.  The resident length must also be
         # a hop multiple: gather_raw_device reshapes the WHOLE signal into
         # hops, and frame_signal's padding ends mid-hop (trailing hop/2,
-        # codec.rs:434-447).
-        need = max(
-            (plan[-1] + K + 1) * hop,
-            ((padded.shape[1] + hop - 1) // hop) * hop,
+        # codec.rs:434-447).  For multi-segment files the length is further
+        # quantized to a 4-bit-mantissa ladder — the programs key on this
+        # shape, and an exact length would recompile them for every
+        # distinct long-file length (≤12.5% upload overshoot instead).
+        last_start, last_k = plan[-1]
+        need_hops = max(
+            last_start + last_k + 1,
+            (padded.shape[1] + hop - 1) // hop,
         )
-        padded = zero_extend(padded, need)
+        if len(plan) > 1:
+            need_hops = _len_bucket(need_hops)
+        padded = zero_extend(padded, need_hops * hop)
         xfull_dev = jax.device_put(padded)
 
         nnz_all = np.empty((F, C), np.int64)
@@ -246,45 +265,39 @@ class Encoder:
         # Segments are dispatched ahead of collection so compute and
         # downloads pipeline on the link, with a bounded in-flight window
         # so very long files cannot exhaust HBM with live buffers.
-        budget = max(K * C * n // 8, 1 << 14)
-        segs = []  # (start, skip, valid, out_d)
+        segs = []  # (start, valid, k, out_d, budget)
 
         def collect(rec):
-            # Frames [start+skip, start+valid) are this segment's
-            # contribution; [start, start+skip) were already collected by
-            # the previous segment (tail overlap) — their pairs sit at the
-            # FRONT of this segment's packed stream and are skipped.
-            start, skip, valid, out_d = rec
-            S = K * stats_width
+            start, valid, k, out_d, budget = rec
+            S = k * stats_width
             # One transfer fetches the stats prefix plus a guessed number of
             # packed pairs; a second fetch happens only when the guess was
             # short (the guess adapts per (channels, chunk) key).
-            guess = self._pair_guess.get((C, K), max(budget // 8, 1 << 14))
+            guess = self._pair_guess.get((C, k), max(budget // 8, 1 << 14))
             cut0 = _pow2_bucket(guess, budget)
             first = np.asarray(out_d[: S + cut0])
-            stats = first[:S].reshape(K, stats_width)
+            stats = first[:S].reshape(k, stats_width)
             nnz = stats[:, :C].astype(np.int64)
             scale = stats[:, C : 2 * C].view(np.float32)
             use_raw = stats[:, 2 * C] != 0
 
+            # padding frames beyond `valid` see zeros and contribute nothing,
+            # but count the whole segment for the budget/guess bookkeeping
             seg_total = int(nnz.sum())
-            skip_pairs = int(nnz[:skip].sum())
-            wanted = int(nnz[skip:valid].sum())
-            self._pair_guess[(C, K)] = seg_total + seg_total // 4 + 1
+            wanted = int(nnz[:valid].sum())
+            self._pair_guess[(C, k)] = seg_total + seg_total // 4 + 1
 
-            nnz_all[start + skip : start + valid] = nnz[skip:valid]
-            scales_all[start + skip : start + valid] = scale[skip:valid]
-            raw_mask_all[start + skip : start + valid] = use_raw[skip:valid]
+            nnz_all[start : start + valid] = nnz[:valid]
+            scales_all[start : start + valid] = scale[:valid]
+            raw_mask_all[start : start + valid] = use_raw[:valid]
 
             if wanted > 0 and seg_total <= budget:
-                need = skip_pairs + wanted
-                if need > cut0:
-                    cut = _pow2_bucket(need, budget)
+                if wanted > cut0:
+                    cut = _pow2_bucket(wanted, budget)
                     tail = np.asarray(out_d[S + cut0 : S + cut])
-                    packed = np.concatenate([first[S:], tail])
+                    packed = np.concatenate([first[S:], tail])[:wanted]
                 else:
-                    packed = first[S:]
-                packed = packed[skip_pairs:need]
+                    packed = first[S : S + wanted]
                 pairs = np.empty(wanted, PAIR_DTYPE)
                 pairs["k"] = (packed >> 16).astype(np.uint16)
                 pairs["q"] = (packed & 0xFFFF).astype(np.uint16).view(
@@ -299,31 +312,27 @@ class Encoder:
                 # container self-consistent (pairs segmented by nnz).
                 q_d, nnz2_d, scale2_d, use_raw2_d = encode_signal_dense_device(
                     xfull_dev, np.int32(start), *tables,
-                    k_frames=K, **params
+                    k_frames=k, **params
                 )
-                q_np = np.asarray(q_d)[skip:valid]
-                nnz_all[start + skip : start + valid] = (
-                    np.asarray(nnz2_d)[skip:valid]
-                )
-                scales_all[start + skip : start + valid] = (
-                    np.asarray(scale2_d)[skip:valid]
+                q_np = np.asarray(q_d)[:valid]
+                nnz_all[start : start + valid] = np.asarray(nnz2_d)[:valid]
+                scales_all[start : start + valid] = (
+                    np.asarray(scale2_d)[:valid]
                 )
                 use_raw = np.asarray(use_raw2_d)
-                raw_mask_all[start + skip : start + valid] = (
-                    use_raw[skip:valid]
-                )
+                raw_mask_all[start : start + valid] = use_raw[:valid]
                 fidx, cidx, kpos = np.nonzero(q_np)
                 pairs = np.empty(len(kpos), PAIR_DTYPE)
                 pairs["k"] = kpos.astype(np.uint16)
                 pairs["q"] = q_np[fidx, cidx, kpos]
                 pair_parts.append(pairs)
 
-            if use_raw[skip:valid].any():
+            if use_raw[:valid].any():
                 # absolute frame indices into the resident signal
-                ridx = (
-                    start + skip + np.flatnonzero(use_raw[skip:valid])
-                ).astype(np.int32)
-                rbudget = _pow2_bucket(len(ridx), K)
+                ridx = (start + np.flatnonzero(use_raw[:valid])).astype(
+                    np.int32
+                )
+                rbudget = _pow2_bucket(len(ridx), k)
                 idx_pad = np.zeros(rbudget, np.int32)
                 idx_pad[: len(ridx)] = ridx
                 rows = np.asarray(
@@ -334,16 +343,14 @@ class Encoder:
                 # layout (codec.rs:471-503, quirk Q13)
                 raw_parts.append(rows.reshape(-1, C * frame_size))
 
-        prev_end = 0
-        for start in plan:
-            valid = min(K, F - start)
-            skip = prev_end - start
-            prev_end = start + valid
+        for start, k in plan:
+            valid = min(k, F - start)
+            budget = max(k * C * n // 8, 1 << 14)
             out_d = encode_signal_device(
                 xfull_dev, np.int32(start), *tables,
-                k_frames=K, budget=budget, **params
+                k_frames=k, budget=budget, **params
             )
-            segs.append((start, skip, valid, out_d))
+            segs.append((start, valid, k, out_d, budget))
             if len(segs) > 4:
                 collect(segs.pop(0))
 

@@ -50,6 +50,24 @@ def test_decode_chunking_invariance():
     assert (diff != 0).mean() < 1e-3
 
 
+def test_len_bucket_ladder():
+    """The resident-length ladder bounds both the overshoot (≤12.5%) and
+    the number of distinct compiled shapes (≤8 per octave) — an exact
+    length would recompile the encode programs per long-file length."""
+    from glc_tpu.codec.encoder import _len_bucket
+
+    for x in (1, 16, 17, 100, 4097, 8193, 65535, 10**6):
+        b = _len_bucket(x)
+        assert b >= x
+        assert b <= max(16, x + (x >> 3))  # ≤ 12.5% overshoot
+    # ladder is idempotent (values are fixed points)
+    for x in (16, 24, 4096, 4608, 9216):
+        assert _len_bucket(x) == x
+    # distinct values per octave is bounded
+    octave = {_len_bucket(x) for x in range(4097, 8193)}
+    assert len(octave) <= 8
+
+
 def test_encode_many_matches_serial():
     """Pipelined multi-file encode (file i+1 uploaded before file i's
     downloads) must produce bit-identical containers to per-file calls,
