@@ -447,7 +447,10 @@ class Decoder:
         separately compiled program can shift the f32 hops by ±1 ulp), at
         half the download and with a deep dispatch pipeline (the device
         chains the carry without host round-trips)."""
-        parts = list(self.decode_i16_stream(encoded))
+        from ..profiling import maybe_trace
+
+        with maybe_trace("decode_i16"):
+            parts = list(self.decode_i16_stream(encoded))
         if not parts:
             return np.empty(0, np.int16)
         return np.concatenate(parts)
@@ -459,15 +462,18 @@ class Decoder:
         encoded: EncodedAudio,
         progress_sender: Optional[ProgressSender] = None,
     ) -> np.ndarray:
-        rx = self.decode_streaming(encoded, progress_sender)
-        parts = []
-        while True:
-            chunk = rx.get()
-            if chunk.error is not None:
-                raise RuntimeError(f"decode failed: {chunk.error}")
-            parts.append(chunk.samples)
-            if chunk.is_last:
-                break
+        from ..profiling import maybe_trace
+
+        with maybe_trace("decode"):
+            rx = self.decode_streaming(encoded, progress_sender)
+            parts = []
+            while True:
+                chunk = rx.get()
+                if chunk.error is not None:
+                    raise RuntimeError(f"decode failed: {chunk.error}")
+                parts.append(chunk.samples)
+                if chunk.is_last:
+                    break
         all_samples = np.concatenate(parts) if parts else np.empty(0, np.float32)
         return gapless_trim(all_samples, encoded.gapless_info,
                             encoded.header.channels,

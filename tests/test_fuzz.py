@@ -115,6 +115,24 @@ def test_flac_hostile_streaminfo_no_abort():
         pass
 
 
+def test_encode_nan_inf_input_no_crash():
+    """NaN/Inf samples are garbage-in (the reference propagates them into
+    quantization too), but the pipeline must not crash and the container
+    must stay structurally valid and round-trippable."""
+    from glc_tpu import Decoder
+
+    s = generate_sine_wave(440.0, 44100, 1, 0.2)
+    s[100] = np.nan
+    s[200] = np.inf
+    s[300] = -np.inf
+    ea = Encoder(44100).encode(s, 1)
+    fs = ea.frame_set
+    assert len(fs.pairs) == int(fs.nnz.sum())
+    data = serialize_encoded(ea)
+    out = Decoder(1, 44100).decode(deserialize_encoded(data))
+    assert len(out) == len(s)  # length contract survives hostile samples
+
+
 def test_glc_huge_count_overflow_rejected(glc_bytes):
     """A nnz count near 2^62 must fail validation, not wrap the bounds
     check (signed-overflow UB) and crash the parser."""
