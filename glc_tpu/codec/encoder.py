@@ -174,6 +174,12 @@ class Encoder:
         album-scale throughput approaches the pure upload rate.  Results
         are bit-identical to per-file `encode`/`encode_pcm16` calls.
         """
+        from ..profiling import maybe_trace
+
+        with maybe_trace("encode_many"):
+            return self._encode_many_impl(items)
+
+    def _encode_many_impl(self, items) -> list:
         results = []
         finishers = []
         for samples, channels in items:
@@ -219,8 +225,12 @@ class Encoder:
         # Segment plan: full segments of K = pow2(F) capped at max_chunk,
         # plus one pow2-bucketed tail segment for the remainder — short
         # files finish in a single dispatch + a single adaptive download,
-        # and the tail never re-encodes frames (padding frames beyond F see
-        # zeros and encode to nnz=0, use_raw=false — free).
+        # and the tail never re-encodes frames.  Bucket-padding frames
+        # beyond F are discarded by the host ([:valid] everywhere); they are
+        # nearly free — all-zero blocks encode to nnz=0 — except frame F
+        # itself, which can see up to one hop of real end-of-file samples
+        # (frame_signal's trailing pad is only hop/2) and may contribute
+        # stream-tail pairs that the collect phase simply never reads.
         #
         # The signal is uploaded ONCE and stays resident in HBM; each
         # segment program slices it with a dynamic start.  The link here
@@ -232,9 +242,9 @@ class Encoder:
         max_chunk = cfg.encode_chunk_frames
         K = _pow2_bucket(F, max_chunk)
         plan = [(i * K, K) for i in range(F // K)]  # (start, k_frames)
-        rem = F - (F // K) * K
-        if rem or not plan:
-            plan.append(((F // K) * K, _pow2_bucket(max(rem, 1), K)))
+        rem = F - (F // K) * K  # F >= 1, so rem > 0 whenever plan is empty
+        if rem:
+            plan.append(((F // K) * K, _pow2_bucket(rem, K)))
 
         # The last segment's slice may reach past the padded signal (its
         # bucket rounds up); extend with zeros once, host-side (cheap), so
@@ -281,17 +291,20 @@ class Encoder:
             scale = stats[:, C : 2 * C].view(np.float32)
             use_raw = stats[:, 2 * C] != 0
 
-            # padding frames beyond `valid` see zeros and contribute nothing,
-            # but count the whole segment for the budget/guess bookkeeping
-            seg_total = int(nnz.sum())
+            # The stream is frame-ordered, so the valid frames' pairs occupy
+            # exactly the first `wanted` slots of the packed array — intact
+            # as long as wanted ≤ budget, regardless of what bucket-padding
+            # frames (which can include real end-of-file samples in frame F)
+            # appended after them.  The overflow decision therefore uses
+            # `wanted`, not the whole-segment total.
             wanted = int(nnz[:valid].sum())
-            self._pair_guess[(C, k)] = seg_total + seg_total // 4 + 1
+            self._pair_guess[(C, k)] = wanted + wanted // 4 + 1
 
             nnz_all[start : start + valid] = nnz[:valid]
             scales_all[start : start + valid] = scale[:valid]
             raw_mask_all[start : start + valid] = use_raw[:valid]
 
-            if wanted > 0 and seg_total <= budget:
+            if wanted > 0 and wanted <= budget:
                 if wanted > cut0:
                     cut = _pow2_bucket(wanted, budget)
                     tail = np.asarray(out_d[S + cut0 : S + cut])
@@ -304,7 +317,7 @@ class Encoder:
                     np.int16
                 )
                 pair_parts.append(pairs)
-            elif seg_total > budget:
+            elif wanted > budget:
                 # Dense fallback for atypically dense segments.  It is a
                 # DIFFERENT compiled program, whose keep-gate can differ by
                 # ±1 ulp from the compacting program's — so nnz/scales/
