@@ -327,7 +327,11 @@ class Encoder:
                     xfull_dev, np.int32(start), *tables,
                     k_frames=k, **params
                 )
-                q_np = np.asarray(q_d)[:valid]
+                from ..ops.decode import take_prefix_device
+
+                # download only the valid prefix — bucket padding can be
+                # most of the tensor for a tail segment
+                q_np = np.asarray(take_prefix_device(q_d, valid))[:valid]
                 nnz_all[start : start + valid] = np.asarray(nnz2_d)[:valid]
                 scales_all[start : start + valid] = (
                     np.asarray(scale2_d)[:valid]

@@ -103,3 +103,50 @@ def test_mesh_scaling():
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         print(f"mesh {dict(mesh.shape)}: {dt*1000:.1f} ms")
+
+
+def test_encode_many_pipelining():
+    """Pipelined multi-file encode vs serial (print-only, like the
+    reference's thread-scaling prints — the ratio depends on whether the
+    link and device overlap in this environment)."""
+    tracks = [(generate_sine_wave(440.0 + 110.0 * i, 44100, 2, 1.0), 2)
+              for i in range(4)]
+    enc = Encoder(44100)
+    enc.encode_many(tracks)  # warm
+    t0 = time.perf_counter()
+    enc.encode_many(tracks)
+    dt_many = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for s, c in tracks:
+        enc.encode(s, c)
+    dt_serial = time.perf_counter() - t0
+    print(f"encode_many 4x1s stereo: pipelined {dt_many*1000:.1f} ms vs "
+          f"serial {dt_serial*1000:.1f} ms ({dt_serial/dt_many:.2f}x)")
+
+
+def test_streaming_export_timing():
+    """decode→FLAC streamed vs batch (print-only)."""
+    from glc_tpu.flac.encoder import (
+        encode_flac_i16_streaming,
+        encode_flac_i16_with_level,
+    )
+
+    samples = generate_sine_wave(440.0, 44100, 2, 2.0)
+    enc = Encoder(44100)
+    encoded = enc.encode(samples, 2)
+    dec = Decoder(2, 44100)
+    n_total = dec.decoded_length(encoded)
+    # warm both
+    encode_flac_i16_streaming(dec.decode_i16_stream(encoded), 44100, 2, 5,
+                              n_total // 2)
+    encode_flac_i16_with_level(dec.decode_i16(encoded), 44100, 2, 5)
+    t0 = time.perf_counter()
+    a = encode_flac_i16_streaming(dec.decode_i16_stream(encoded), 44100, 2,
+                                  5, n_total // 2)
+    dt_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    b = encode_flac_i16_with_level(dec.decode_i16(encoded), 44100, 2, 5)
+    dt_b = time.perf_counter() - t0
+    assert a == b
+    print(f"decode+flac 2s stereo: streamed {dt_s*1000:.1f} ms vs batch "
+          f"{dt_b*1000:.1f} ms")
