@@ -226,6 +226,48 @@ def main() -> None:
             f"stereo = {duration_s/dt:.0f}x realtime on-chip",
             file=sys.stderr,
         )
+
+        # decode device-compute: resident packed uploads, forced execution
+        from glc_tpu.codec.decoder import _packed_slices
+        from glc_tpu.codec.tables import chunk_size_for
+        from glc_tpu.ops.decode import decode_chunk_packed_device
+
+        fs = encoded.frame_set
+        F = fs.num_frames
+        chunk = chunk_size_for(F, enc.config.decode_chunk_frames)
+        words, raw_words, budget2, rbudget = _packed_slices(
+            fs, 0, min(F, chunk), chunk, 1024, True
+        )
+        carries = []
+        for i in range(8):
+            w = words.copy()
+            w[-1 - i] ^= 1  # perturb an is_raw pad slot (unused) per variant
+            carries.append(jax.device_put(w))
+        jax.block_until_ready(carries)
+        raw_d = jax.device_put(raw_words if raw_words is not None
+                               else np.empty(0, np.int32))
+        zero_carry = jax.device_put(np.zeros((2, 1024), np.float32))
+
+        def drun(w):
+            return decode_chunk_packed_device(
+                w, raw_d, zero_carry, np.int32(min(F, chunk)),
+                tb.cos_table, tb.window, tb.norm,
+                K=chunk, C=2, n=1024, budget=budget2, rbudget=rbudget,
+                max_q=enc.config.max_q, window_raw=False, out_i16=True,
+            )
+
+        np.asarray(drun(carries[0])[0][:1])
+        t0 = time.perf_counter()
+        outs = [drun(w)[0][:1] for w in carries]
+        for o in outs:
+            np.asarray(o)
+        dt = (time.perf_counter() - t0) / len(carries)
+        print(
+            f"# decode device-compute-only (forced): {dt*1000:.2f} ms for "
+            f"{duration_s:.0f}s stereo = {duration_s/dt:.0f}x realtime "
+            f"on-chip",
+            file=sys.stderr,
+        )
     except Exception as e:
         print(f"# diagnostics failed: {e}", file=sys.stderr)
 
