@@ -291,7 +291,13 @@ void pack_one_frame(BitWriter& w, const int16_t* samples, int64_t sample_off,
         // an empty first partition (block_size == predictor order).  The
         // reference skips it (flac.rs:632-638), emitting invalid FLAC its
         // own claxon oracle rejects — fixed here (QUIRKS.md Q15).
+        // Defense-in-depth: k is caller-supplied through the C ABI.  Out of
+        // 0..14 it would be UB shifts below (k>31, k<0) or the 0b1111
+        // escape code (15..31) that decoders reject; clamp into the valid
+        // range — any k in 0..14 yields correct (if suboptimal) FLAC.  The
+        // project's own estimator already clamps (glc_tpu/flac/ops.py).
         int k = rp[p];
+        if (k < 0 || k > 14) k = 14;
         w.write_bits((uint64_t)k, 4);
         if (ps == 0) continue;
         uint32_t mask = k > 0 ? ((1u << k) - 1) : 0;
@@ -573,17 +579,25 @@ bool decode_subframe(BitReader& br, int bs, int bps, int64_t* out) {
     if (order > bs) return false;
     for (int i = 0; i < order; i++) out[i] = br.read_signed(ebps);
     if (!decode_residual(br, bs, order, out)) return false;
+    // Hostile streams can drive the predictor recurrences past int64 range
+    // (confirmed UBSan reproducer); all arithmetic here runs in uint64 —
+    // defined wraparound — so garbage-in stays garbage-out without UB.
+    // Well-formed streams never approach the limits, so results are
+    // unchanged for real audio.
     for (int i = order; i < bs; i++) {
-      int64_t pred;
+      uint64_t pred;
+      const uint64_t a = (uint64_t)out[i - 1];
       switch (order) {
         case 0: pred = 0; break;
-        case 1: pred = out[i - 1]; break;
-        case 2: pred = 2 * out[i - 1] - out[i - 2]; break;
-        case 3: pred = 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3]; break;
+        case 1: pred = a; break;
+        case 2: pred = 2 * a - (uint64_t)out[i - 2]; break;
+        case 3: pred = 3 * a - 3 * (uint64_t)out[i - 2]
+                       + (uint64_t)out[i - 3]; break;
         default:
-          pred = 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] - out[i - 4];
+          pred = 4 * a - 6 * (uint64_t)out[i - 2]
+                 + 4 * (uint64_t)out[i - 3] - (uint64_t)out[i - 4];
       }
-      out[i] += pred;
+      out[i] = (int64_t)((uint64_t)out[i] + pred);
     }
   } else if (type & 0x20) {  // LPC
     int order = (int)(type & 0x1F) + 1;
@@ -597,16 +611,19 @@ bool decode_subframe(BitReader& br, int bs, int bps, int64_t* out) {
     for (int i = 0; i < order; i++) coef[i] = br.read_signed((int)prec);
     if (!decode_residual(br, bs, order, out)) return false;
     for (int i = order; i < bs; i++) {
-      int64_t acc = 0;
-      for (int j = 0; j < order; j++) acc += coef[j] * out[i - 1 - j];
-      out[i] += acc >> shift;
+      uint64_t acc = 0;  // uint64: wrap instead of signed-overflow UB
+      for (int j = 0; j < order; j++)
+        acc += (uint64_t)coef[j] * (uint64_t)out[i - 1 - j];
+      out[i] = (int64_t)((uint64_t)out[i] +
+                         (uint64_t)((int64_t)acc >> shift));
     }
   } else {
     return false;
   }
 
   if (wasted)
-    for (int i = 0; i < bs; i++) out[i] <<= wasted;
+    for (int i = 0; i < bs; i++)
+      out[i] = (int64_t)((uint64_t)out[i] << wasted);
   return !br.error;
 }
 
@@ -649,21 +666,29 @@ extern "C" int64_t glc_container_serialize(
     int64_t raw_len,         // L = frame_size * channels
     uint8_t** out, int64_t* out_len) {
   const int64_t C = channels;
-  // size pass
+  if (raw_len < 0) return -3;
+  // size pass — overflow-guarded: nnz entries come through the C ABI, and
+  // wrapped sums would defeat the pairs_len check below and undersize the
+  // allocation (heap-corrupting memcpys in the fill pass)
   int64_t total = 14 + 8 + 16;
   int64_t pair_total = 0;
   for (int64_t f = 0; f < num_frames; f++) {
     if (raw_mask[f]) {
-      total += 8 + 8 + 1 + 8 + 2 * raw_len;
+      if (__builtin_add_overflow(total, 8 + 8 + 1 + 8 + 2 * raw_len, &total))
+        return -3;
     } else {
       int64_t fp = 0;
       for (int64_t c = 0; c < C; c++) {
         int64_t cnt = nnz[f * C + c];
-        if (cnt < 0) return -3;
-        fp += cnt;
+        if (cnt < 0 || cnt > pairs_len) return -3;
+        if (__builtin_add_overflow(fp, cnt, &fp)) return -3;
       }
-      total += 8 + 8 * C + 4 * fp + 8 + 4 * C + 1;
-      pair_total += fp;
+      int64_t bytes;
+      if (__builtin_mul_overflow(fp, (int64_t)4, &bytes)) return -3;
+      if (__builtin_add_overflow(total, 8 + 8 * C + 8 + 4 * C + 1, &total) ||
+          __builtin_add_overflow(total, bytes, &total))
+        return -3;
+      if (__builtin_add_overflow(pair_total, fp, &pair_total)) return -3;
     }
   }
   // nnz must be consistent with the pairs buffer (the numpy fallback raises
@@ -764,6 +789,10 @@ extern "C" int32_t glc_container_scan(
       std::memcpy(&sl, p, 8); p += 8;
       if (sl != 0) return -6;
       if (*p++ != 1) return -7;
+      // the raw-PCM length needs its own bound: without it p can pass
+      // `end` here and the (end - p) below underflows to ~2^64, letting a
+      // crafted L walk p anywhere (confirmed SIGSEGV reproducer)
+      if (p + 8 > end) return -3;
       uint64_t L;
       std::memcpy(&L, p, 8); p += 8;
       if (L > (uint64_t)(end - p) / 2) return -3;
@@ -969,11 +998,25 @@ int32_t flac_decode_impl(const uint8_t* data, int64_t len,
       for (int i = 0; i < bs; i++) L[i] = R[i] + L[i];
     } else if (mode == MS) {
       for (int i = 0; i < bs; i++) {
-        int64_t mid = (L[i] << 1) | (R[i] & 1);
+        // uint64 arithmetic: hostile subframe values can overflow the
+        // shift/add here (see the predictor note in decode_subframe)
+        int64_t mid = (int64_t)(((uint64_t)L[i] << 1) | ((uint64_t)R[i] & 1));
         int64_t side = R[i];
-        L[i] = (mid + side) >> 1;
-        R[i] = (mid - side) >> 1;
+        L[i] = (int64_t)((uint64_t)mid + (uint64_t)side) >> 1;
+        R[i] = (int64_t)((uint64_t)mid - (uint64_t)side) >> 1;
       }
+    }
+
+    // Decompression-bomb guard: constant subframes make frames ~40000×
+    // cheaper than the samples they expand to, so bound total output by
+    // what STREAMINFO declares (or a generous absolute cap when it
+    // declares nothing — legitimate silent tracks compress enormously, so
+    // an input-proportional bound would reject them).
+    {
+      uint64_t new_total = (uint64_t)out.size() + (uint64_t)bs * channels;
+      uint64_t cap = si_total > 0 ? si_total * (uint64_t)si_channels
+                                  : ((uint64_t)1 << 30);
+      if (new_total > cap) return -16;
     }
 
     size_t base = out.size();
@@ -984,6 +1027,9 @@ int32_t flac_decode_impl(const uint8_t* data, int64_t len,
             (int32_t)ch_buf[(size_t)c * bs + i];
   }
 
+  // NOTE: this final copy doubles peak memory for the decoded stream; the
+  // vector keeps all the earlier error paths leak-free, and decode inputs
+  // are bounded by the bomb guard above, so the trade is accepted.
   int32_t* p = (int32_t*)std::malloc(out.empty() ? 1 : out.size() * sizeof(int32_t));
   if (!p) return -15;
   if (!out.empty()) std::memcpy(p, out.data(), out.size() * sizeof(int32_t));
