@@ -8,6 +8,7 @@ when the native library is unavailable (`get_native()` returns None).
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 import threading
 from pathlib import Path
@@ -15,7 +16,11 @@ from typing import Optional
 
 _ROOT = Path(__file__).resolve().parent.parent
 _NATIVE_DIR = _ROOT / "native"
-_SO_PATH = _NATIVE_DIR / "libglc_native.so"
+# GLC_NATIVE_LIB overrides the library path — used to run the test suite
+# against the sanitized build (`make -C native sanitize`, see the Makefile)
+_SO_PATH = Path(
+    os.environ.get("GLC_NATIVE_LIB", _NATIVE_DIR / "libglc_native.so")
+)
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
