@@ -221,6 +221,16 @@ def main() -> None:
             np.asarray(s)
         dt = (time.perf_counter() - t0) / len(variants)
         print(
+            json.dumps(
+                {
+                    "metric": "encode_device_compute_realtime_factor_44k_stereo",
+                    "value": round(duration_s / dt, 1),
+                    "unit": "x_realtime",
+                    "vs_baseline": round(duration_s / dt / 500.0, 3),
+                }
+            )
+        )
+        print(
             f"# device-compute-only (forced, incl. dispatch+1-int download):"
             f" {dt*1000:.2f} ms for {duration_s:.0f}s "
             f"stereo = {duration_s/dt:.0f}x realtime on-chip",
