@@ -98,6 +98,15 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     # power-of-two upload shapes, capped at the dense maximum — keeps the
     # set of compiled decode programs O(log), not one per pair count
     budget = _pow2_bucket(P, K * C * n)
+    if P > budget:
+        # Post-dedup, each row holds ≤ n+1 distinct slots (n in-range plus
+        # one OOB slot), so a malformed stream can exceed the dense budget
+        # cap K·C·n by up to one pair per row.  A well-formed stream never
+        # gets here; fail loudly instead of a shape-mismatch crash.
+        raise ValueError(
+            f"malformed stream: {P} coefficient pairs exceed the dense "
+            f"budget {budget} for a {K}-frame chunk"
+        )
 
     words = np.empty(budget + (K * C) // 2 + K * C + K, np.int32)
     kv = words[:budget].view(np.uint32)
@@ -107,7 +116,11 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
         kv[:P] = (kidx << 16) | pairs["q"].view(np.uint16).astype(np.uint32)
 
     nnz_sec = words[budget : budget + (K * C) // 2].view(np.uint16)
-    assert int(nnz.max(initial=0)) < (1 << 16)
+    if int(nnz.max(initial=0)) >= (1 << 16):
+        # Unreachable after the dedup rewrite above (≤ n+1 pairs per row
+        # survive), but the uint16 narrowing below must never wrap silently
+        # — and `assert` would vanish under python -O.
+        raise ValueError("malformed stream: per-row pair count >= 2^16")
     nnz_sec[: count * C] = nnz.reshape(-1).astype(np.uint16)
     nnz_sec[count * C :] = 0
     o1 = budget + (K * C) // 2

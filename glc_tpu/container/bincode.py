@@ -244,9 +244,12 @@ def _native_deserialize(data):
         bp, len(buf), F.value, C,
         nnz.ctypes.data_as(c.POINTER(c.c_int64)),
         pairs.view(np.uint8).ctypes.data_as(c.POINTER(c.c_uint8)),
+        K.value,
         scales.ctypes.data_as(c.POINTER(c.c_float)),
         raw_mask.ctypes.data_as(c.POINTER(c.c_uint8)),
         raw_pcm.ctypes.data_as(c.POINTER(c.c_int16)),
+        R.value,
+        L.value if R.value else frame_size * C,
     )
     if rc != 0:
         raise BincodeError(f"invalid .glc data (native fill code {rc})")

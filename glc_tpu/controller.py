@@ -175,6 +175,10 @@ class CodecController:
                                          on_file=on_file, on_error=on_error)
                 if errored:
                     pass  # keep the "Decode error" status visible
+                elif self._stop_playback.is_set():
+                    # a user stop also drains the generator normally —
+                    # report it as a stop, not a complete playthrough
+                    self.set_status("Playback stopped")
                 elif drained:
                     self.set_status("Playback finished")
                 else:

@@ -84,8 +84,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.glc_container_fill.restype = c.c_int32
     lib.glc_container_fill.argtypes = [
         c.POINTER(c.c_uint8), c.c_int64, c.c_int64, c.c_int32,
-        c.POINTER(c.c_int64), c.POINTER(c.c_uint8), c.POINTER(c.c_float),
-        c.POINTER(c.c_uint8), c.POINTER(c.c_int16),
+        c.POINTER(c.c_int64),
+        c.POINTER(c.c_uint8), c.c_int64,   # pairs, pair_capacity
+        c.POINTER(c.c_float), c.POINTER(c.c_uint8),
+        c.POINTER(c.c_int16), c.c_int64,   # raw_pcm, raw_capacity
+        c.c_int64,                          # raw_len
     ]
     return lib
 

@@ -672,9 +672,15 @@ extern "C" int64_t glc_container_serialize(
   // allocation (heap-corrupting memcpys in the fill pass)
   int64_t total = 14 + 8 + 16;
   int64_t pair_total = 0;
+  // raw frame record bytes: 8+8+1+8 fixed + 2·raw_len PCM (mul guarded —
+  // raw_len is validated >= 0 but not bounded, so 2·raw_len can overflow)
+  int64_t raw_bytes, raw_rec;
+  if (__builtin_mul_overflow(raw_len, (int64_t)2, &raw_bytes) ||
+      __builtin_add_overflow(raw_bytes, (int64_t)(8 + 8 + 1 + 8), &raw_rec))
+    return -3;
   for (int64_t f = 0; f < num_frames; f++) {
     if (raw_mask[f]) {
-      if (__builtin_add_overflow(total, 8 + 8 + 1 + 8 + 2 * raw_len, &total))
+      if (__builtin_add_overflow(total, raw_rec, &total))
         return -3;
     } else {
       int64_t fp = 0;
@@ -818,42 +824,69 @@ extern "C" int32_t glc_container_scan(
   return 0;
 }
 
-// Parse pass 2: fill caller-allocated columnar buffers (sizes from scan).
+// Parse pass 2: fill caller-allocated columnar buffers.  Self-bounding: it
+// re-validates every read against `len` and every write against the passed
+// capacities, so it is memory-safe even if the buffer changed between scan
+// and fill (the scan/fill ABI carries no shared-state invariant — a caller
+// passing a mutated or different buffer gets an error code, not a SIGSEGV).
 extern "C" int32_t glc_container_fill(
     const uint8_t* data, int64_t len, int64_t num_frames, int32_t channels,
-    int64_t* nnz, uint8_t* pairs, float* scales, uint8_t* raw_mask,
-    int16_t* raw_pcm) {
+    int64_t* nnz, uint8_t* pairs, int64_t pair_capacity,  // pair records
+    float* scales, uint8_t* raw_mask,
+    int16_t* raw_pcm, int64_t raw_capacity,               // raw rows
+    int64_t raw_len) {                                    // samples per row
   const int64_t C = channels;
+  if (num_frames < 0 || C <= 0 || pair_capacity < 0 || raw_capacity < 0 ||
+      raw_len < 0 || len < 22 + 16)
+    return -2;
   const uint8_t* p = data + 22;
   const uint8_t* end = data + len - 16;
   uint8_t* pp = pairs;
+  uint8_t* const pp_end = pairs + 4 * pair_capacity;
   int16_t* rp = raw_pcm;
+  int64_t raws = 0;
   for (int64_t f = 0; f < num_frames; f++) {
+    if (p + 8 > end) return -3;
     uint64_t outer;
     std::memcpy(&outer, p, 8); p += 8;
-    if (outer == (uint64_t)C && C > 0) {
+    if (outer == (uint64_t)C) {
       raw_mask[f] = 0;
       for (int64_t c = 0; c < C; c++) {
+        if (p + 8 > end) return -3;
         uint64_t cnt;
         std::memcpy(&cnt, p, 8); p += 8;
+        if (cnt > (uint64_t)(end - p) / 4) return -3;
+        if (4 * (int64_t)cnt > pp_end - pp) return -4;
         nnz[f * C + c] = (int64_t)cnt;
         std::memcpy(pp, p, (size_t)(4 * cnt));
         pp += 4 * cnt;
         p += 4 * cnt;
       }
-      p += 8;  // scale vec len (validated in scan)
+      if (p + 8 + 4 * C + 1 > end) return -3;
+      uint64_t sl;
+      std::memcpy(&sl, p, 8); p += 8;
+      if (sl != (uint64_t)C) return -5;
       std::memcpy(scales + f * C, p, (size_t)(4 * C));
-      p += 4 * C + 1;
-    } else {
+      p += 4 * C;
+      if (*p++ != 0) return -5;
+    } else if (outer == 0) {
       raw_mask[f] = 1;
       for (int64_t c = 0; c < C; c++) nnz[f * C + c] = 0;
       for (int64_t c = 0; c < C; c++) scales[f * C + c] = 0.0f;
-      p += 8 + 1;  // empty scale vec + Some tag
+      if (p + 8 + 1 + 8 > end) return -3;
+      uint64_t sl;
+      std::memcpy(&sl, p, 8); p += 8;
+      if (sl != 0 || *p++ != 1) return -5;
       uint64_t L;
       std::memcpy(&L, p, 8); p += 8;
+      if (L > (uint64_t)(end - p) / 2) return -3;
+      if (L != (uint64_t)raw_len || raws >= raw_capacity) return -4;
       std::memcpy(rp, p, (size_t)(2 * L));
       rp += L;
+      raws++;
       p += 2 * L;
+    } else {
+      return -5;
     }
   }
   return p <= end ? 0 : -1;

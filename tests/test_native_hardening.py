@@ -155,3 +155,60 @@ def test_native_serialize_rejects_overflowing_nnz():
     )
     ea = EncodedAudio(AudioHeader(44100, 1, 0), fs, GaplessInfo(512, 0, 0))
     assert _native_serialize(ea) is None  # clean refusal, not heap damage
+
+
+def test_native_fill_self_bounding_against_mutated_buffer():
+    """The fill pass must not trust scan's offsets: if the buffer changes
+    between scan and fill (a C-ABI caller bug), fill must return an error
+    code instead of overrunning the caller's exactly-sized buffers.  Calls
+    the two passes directly with a buffer that is valid at scan time and
+    hostile at fill time."""
+    import ctypes as c
+
+    from glc_tpu.container.schema import PAIR_DTYPE
+    from glc_tpu.native import get_native
+
+    lib = get_native()
+    if lib is None:
+        pytest.skip("native library unavailable")
+
+    # valid container: 1 channel, 2 MDCT frames, 3 pairs total
+    buf = bytearray()
+    buf += struct.pack("<IHQ", 44100, 1, 0)
+    buf += struct.pack("<Q", 2)                       # F
+    for cnt in (2, 1):
+        buf += struct.pack("<Q", 1)                   # outer = C
+        buf += struct.pack("<Q", cnt)                 # nnz
+        buf += b"\x01\x00\x02\x00" * cnt              # pairs
+        buf += struct.pack("<Q", 1) + struct.pack("<f", 1.0) + b"\x00"
+    buf += struct.pack("<IIQ", 512, 0, 0)
+
+    arr = np.frombuffer(bytes(buf), np.uint8).copy()
+    bp = arr.ctypes.data_as(c.POINTER(c.c_uint8))
+    sr = c.c_uint32(); ch = c.c_uint16(); ts = c.c_uint64()
+    ed = c.c_uint32(); pad = c.c_uint32(); ol = c.c_uint64()
+    F = c.c_int64(); K = c.c_int64(); R = c.c_int64(); L = c.c_int64()
+    rc = lib.glc_container_scan(bp, len(arr), c.byref(sr), c.byref(ch),
+                                c.byref(ts), c.byref(ed), c.byref(pad),
+                                c.byref(ol), c.byref(F), c.byref(K),
+                                c.byref(R), c.byref(L))
+    assert rc == 0 and K.value == 3
+
+    # mutate AFTER scan: inflate frame 0's pair count so the old fill would
+    # memcpy far past the 3-record pairs buffer
+    struct.pack_into("<Q", arr, 22 + 8, 1 << 20)
+
+    nnz = np.zeros((2, 1), np.int64)
+    pairs = np.empty(K.value, PAIR_DTYPE)
+    scales = np.zeros((2, 1), np.float32)
+    raw_mask = np.zeros(2, np.uint8)
+    raw_pcm = np.empty((0, 2048), np.int16)
+    rc = lib.glc_container_fill(
+        bp, len(arr), F.value, 1,
+        nnz.ctypes.data_as(c.POINTER(c.c_int64)),
+        pairs.view(np.uint8).ctypes.data_as(c.POINTER(c.c_uint8)), K.value,
+        scales.ctypes.data_as(c.POINTER(c.c_float)),
+        raw_mask.ctypes.data_as(c.POINTER(c.c_uint8)),
+        raw_pcm.ctypes.data_as(c.POINTER(c.c_int16)), 0, 2048,
+    )
+    assert rc != 0  # clean refusal, not a heap overrun
