@@ -26,7 +26,7 @@ import numpy as np
 from ..config import CodecConfig, DEFAULT_CONFIG
 from ..container.schema import AudioChunk, EncodedAudio, FrameSet, Progress
 from ..ops.decode import decode_chunk_packed_device, take_prefix_device
-from .tables import chunk_size_for, get_device_tables, pow2_bucket
+from .tables import chunk_size_for, get_device_tables, len_bucket, pow2_bucket
 
 ProgressSender = Callable[[Progress], None]
 
@@ -41,6 +41,7 @@ class _Cancelled(Exception):
 
 
 _pow2_bucket = pow2_bucket
+_len_bucket = len_bucket
 
 
 def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
@@ -95,9 +96,10 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
             ).reshape(count, C).astype(np.int64)
             P = len(pairs)
 
-    # power-of-two upload shapes, capped at the dense maximum — keeps the
-    # set of compiled decode programs O(log), not one per pair count
-    budget = _pow2_bucket(P, K * C * n)
+    # ladder-bucketed upload shapes, capped at the dense maximum — keeps
+    # the set of compiled decode programs small while wasting ≤6.25% of the
+    # pairs upload (these are link bytes; pow2 wasted up to 2×)
+    budget = min(_len_bucket(P, 5), K * C * n)
     if P > budget:
         # Post-dedup, each row holds ≤ n+1 distinct slots (n in-range plus
         # one OOB slot), so a malformed stream can exceed the dense budget
@@ -135,7 +137,9 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     if R == 0:
         return words, None, budget, 0
 
-    rbudget = _pow2_bucket(R, K)
+    # raw rows are the widest upload records (C·frame_size i16 each), so
+    # they get the 4-bit ladder too (floor 16, ≤12.5% overshoot)
+    rbudget = min(_len_bucket(R, 4), K)
     raw_words = np.empty(rbudget + rbudget * C * frame_size // 2, np.int32)
     raw_words[:rbudget] = K  # fill indices → dropped
     raw_words[:R] = np.flatnonzero(is_raw_v).astype(np.int32)

@@ -40,9 +40,10 @@ from ..container.schema import (
 from ..ops.encode import (
     encode_signal_dense_device,
     encode_signal_device,
+    encode_signals_batch_device,
     gather_raw_device,
 )
-from .tables import get_device_tables, pow2_bucket
+from .tables import get_device_tables, len_bucket, pow2_bucket
 
 
 def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig,
@@ -88,21 +89,7 @@ def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig,
 
 
 _pow2_bucket = pow2_bucket
-
-
-def _len_bucket(x: int) -> int:
-    """Smallest m·2^e ≥ x with 8 ≤ m < 16 (a 4-bit-mantissa ladder):
-    ≤ 12.5% overshoot, ≤ 8 distinct values per octave.  Quantizes the
-    resident-signal length for multi-segment files so the set of compiled
-    programs stays bounded — an exact length would recompile
-    encode_signal_device for every distinct file length."""
-    if x <= 16:
-        return 16
-    e = x.bit_length() - 4
-    m = -(-x >> e)  # ceil(x / 2^e)
-    if m >= 16:
-        return 8 << (e + 1)
-    return m << e
+_len_bucket = len_bucket
 
 
 def zero_extend(padded: np.ndarray, need: int) -> np.ndarray:
@@ -164,24 +151,35 @@ class Encoder:
             return self._dispatch_encode(samples, channels, pcm16=pcm16)()
 
     def encode_many(self, items) -> list:
-        """Pipelined multi-file encode: `items` is a sequence of
-        (samples, channels) — int16 arrays take the exact pcm16 fast path,
-        float arrays the f32 path.  Returns a list of EncodedAudio.
+        """Multi-file encode: `items` is a sequence of (samples, channels) —
+        int16 arrays take the exact pcm16 fast path, float arrays the f32
+        path.  Returns a list of EncodedAudio in input order, bit-identical
+        to per-file `encode`/`encode_pcm16` calls.
 
-        File i+1's upload and device dispatch are issued BEFORE file i's
-        results are downloaded, so on the link (the binding resource here)
-        one file's compute+download overlaps the next file's upload —
-        album-scale throughput approaches the pure upload rate.  Results
-        are bit-identical to per-file `encode`/`encode_pcm16` calls.
+        Tracks that land in the same (channels, dtype, frame-bucket) group
+        are encoded by ONE batched device program (`encode_signals_batch_
+        device`): one upload, one dispatch, one download for the whole
+        group — on a link with high per-transfer latency this beats the
+        reference's serial file loop (src/main.rs:545-583) by amortizing
+        every fixed cost over the group.  Tracks that don't batch (odd
+        lengths, multi-segment) fall back to the pipelined per-file path,
+        whose uploads overlap the previous file's compute+download.
         """
         from ..profiling import maybe_trace
 
         with maybe_trace("encode_many"):
             return self._encode_many_impl(items)
 
+    # HBM bound for one batched dispatch: the [B, K, C, 2n] f32 block tensor
+    # is the big intermediate; cap its footprint (v5e has 16 GB).
+    _MAX_BATCH_BLOCK_BYTES = 2 << 30
+
     def _encode_many_impl(self, items) -> list:
-        results = []
-        finishers = []
+        cfg = self.config
+        hop = cfg.hop_size
+        max_chunk = cfg.encode_chunk_frames
+
+        prepped = []
         for samples, channels in items:
             samples = np.asarray(samples)
             pcm16 = samples.dtype == np.int16
@@ -191,15 +189,179 @@ class Encoder:
                 )
             if not pcm16:
                 samples = samples.astype(np.float32, copy=False)
+            prepped.append((samples, int(channels), pcm16))
+
+        # Group batchable (single-segment) tracks by program signature.
+        groups: dict = {}
+        solos: list = []
+        for i, (samples, C, pcm16) in enumerate(prepped):
+            if len(samples) == 0:
+                raise ValueError("cannot encode empty input")
+            dtype = np.int16 if pcm16 else np.float32
+            padded, F, padding, _T = frame_signal(samples, C, cfg, dtype)
+            K = min(max(_len_bucket(F), 16), max_chunk)
+            if F <= K:
+                p_hops = (padded.shape[1] + hop - 1) // hop
+                need_hops = max(K + 1, p_hops)
+                up_hops = min(_len_bucket(p_hops, 5), need_hops)
+                key = (C, pcm16, K, up_hops, need_hops)
+                groups.setdefault(key, []).append(
+                    (i, len(samples), padded, F, padding)
+                )
+            else:
+                solos.append((i, samples, C, pcm16))
+
+        results: list = [None] * len(prepped)
+
+        # Pipelined solo path (multi-segment tracks): keep two in flight.
+        finishers: list = []
+        for i, samples, C, pcm16 in solos:
             finishers.append(
-                self._dispatch_encode(samples, channels, pcm16=pcm16)
+                (i, self._dispatch_encode(samples, C, pcm16=pcm16))
             )
-            # keep two files in flight: enough to overlap, bounded HBM
             if len(finishers) > 1:
-                results.append(finishers.pop(0)())
-        for finish in finishers:
-            results.append(finish())
+                j, finish = finishers.pop(0)
+                results[j] = finish()
+
+        # Batched groups (splitting any group that would exceed the HBM cap).
+        for key, recs in groups.items():
+            C, pcm16, K, up_hops, need_hops = key
+            per_track = K * C * cfg.frame_size * 4
+            cap = max(1, self._MAX_BATCH_BLOCK_BYTES // per_track)
+            for off in range(0, len(recs), cap):
+                part = recs[off : off + cap]
+                if len(part) == 1:
+                    i, total, padded, F, padding = part[0]
+                    results[i] = self._finish_single(
+                        padded, F, padding, total, C, pcm16, K,
+                        up_hops, need_hops,
+                    )
+                else:
+                    self._encode_batch_group(
+                        part, results, C=C, pcm16=pcm16, K=K,
+                        up_hops=up_hops, need_hops=need_hops,
+                    )
+
+        for j, finish in finishers:
+            results[j] = finish()
         return results
+
+    def _finish_single(self, padded, F, padding, total_samples, C, pcm16,
+                       K, up_hops, need_hops) -> EncodedAudio:
+        """Encode one already-framed track through the batch program with
+        B=1 (keeps group-of-one results on the same compiled-program family
+        as their group peers)."""
+        out = [None]
+        self._encode_batch_group(
+            [(0, total_samples, padded, F, padding)], out,
+            C=C, pcm16=pcm16, K=K, up_hops=up_hops, need_hops=need_hops,
+        )
+        return out[0]
+
+    def _encode_batch_group(self, recs, results, *, C, pcm16, K,
+                            up_hops, need_hops) -> None:
+        """Encode a group of same-bucket single-segment tracks with one
+        batched upload + dispatch + adaptive download.  Fills results[i]
+        for each (i, ...) record."""
+        cfg = self.config
+        hop, frame_size, n = cfg.hop_size, cfg.frame_size, cfg.n
+        tb = self._tables
+        tables = tuple(tb)
+        B = len(recs)
+        dtype = np.int16 if pcm16 else np.float32
+
+        xb = np.zeros((B, C, up_hops * hop), dtype)
+        for j, (_i, _total, padded, _F, _padding) in enumerate(recs):
+            xb[j, :, : padded.shape[1]] = padded
+        xb_dev = jax.device_put(xb)
+
+        budget = max(K * C * n // 8, 1 << 14)
+        params = dict(
+            pcm16=pcm16,
+            quality=cfg.quality_factor,
+            noise_floor_db=cfg.noise_floor_db,
+            compression_threshold=cfg.compression_threshold,
+            max_q=cfg.max_q,
+            pad_hops=need_hops,
+        )
+        out_d = encode_signals_batch_device(
+            xb_dev, np.zeros(B, np.int32), *tables,
+            k_frames=K, budget=budget, **params
+        )
+
+        stats_width = 2 * C + 1
+        S = K * stats_width
+        guess = self._pair_guess.get((C, K), max(budget // 8, 1 << 14))
+        cut0 = min(_len_bucket(guess, 5), budget)
+        first = np.asarray(out_d[:, : S + cut0])   # ONE download for B tracks
+
+        max_wanted = 1
+        for j, (i, total_samples, padded, F, padding) in enumerate(recs):
+            stats = first[j, :S].reshape(K, stats_width)
+            nnz = stats[:F, :C].astype(np.int64)
+            scales = stats[:F, C : 2 * C].view(np.float32).copy()
+            use_raw = stats[:F, 2 * C] != 0
+            wanted = int(nnz.sum())
+            max_wanted = max(max_wanted, wanted)
+
+            if wanted > 0 and wanted <= budget:
+                if wanted > cut0:
+                    cut = min(_len_bucket(wanted, 5), budget)
+                    tail = np.asarray(out_d[j, S + cut0 : S + cut])
+                    packed = np.concatenate([first[j, S:], tail])[:wanted]
+                else:
+                    packed = first[j, S : S + wanted]
+                pairs = np.empty(wanted, PAIR_DTYPE)
+                pairs["k"] = (packed >> 16).astype(np.uint16)
+                pairs["q"] = (packed & 0xFFFF).astype(np.uint16).view(
+                    np.int16
+                )
+            elif wanted > budget:
+                # dense fallback, per track (atypically dense content)
+                q_d, nnz2_d, scale2_d, use_raw2_d = (
+                    encode_signal_dense_device(
+                        xb_dev[j], np.int32(0), *tables,
+                        k_frames=K, **params
+                    )
+                )
+                from ..ops.decode import take_prefix_device
+
+                q_np = np.asarray(take_prefix_device(q_d, F))[:F]
+                nnz = np.asarray(nnz2_d)[:F].astype(np.int64)
+                scales = np.asarray(scale2_d)[:F]
+                use_raw = np.asarray(use_raw2_d)[:F]
+                fidx, cidx, kpos = np.nonzero(q_np)
+                pairs = np.empty(len(kpos), PAIR_DTYPE)
+                pairs["k"] = kpos.astype(np.uint16)
+                pairs["q"] = q_np[fidx, cidx, kpos]
+            else:
+                pairs = np.empty(0, PAIR_DTYPE)
+
+            if use_raw.any():
+                ridx = np.flatnonzero(use_raw).astype(np.int32)
+                rbudget = min(_len_bucket(len(ridx), 4), K)
+                idx_pad = np.zeros(rbudget, np.int32)
+                idx_pad[: len(ridx)] = ridx
+                rows = np.asarray(
+                    gather_raw_device(xb_dev[j], idx_pad, tb.window,
+                                      pad_hops=need_hops, pcm16=pcm16)
+                )[: len(ridx)]
+                raw_all = rows.reshape(-1, C * frame_size)
+            else:
+                raw_all = np.empty((0, C * frame_size), np.int16)
+
+            fs = FrameSet(nnz, pairs, scales, use_raw, raw_all, frame_size)
+            results[i] = EncodedAudio(
+                header=AudioHeader(self.sample_rate, C, total_samples),
+                frame_set=fs,
+                gapless_info=GaplessInfo(
+                    encoder_delay=hop // 2,
+                    padding=padding,
+                    original_length=total_samples,
+                ),
+            )
+
+        self._pair_guess[(C, K)] = max_wanted + max_wanted // 4 + 1
 
     def _dispatch_encode(self, samples, channels: int, *, pcm16: bool):
         cfg = self.config
@@ -222,8 +384,8 @@ class Encoder:
         # DeviceTables field order matches encode_signal_device's parameters
         tables = tuple(tb)
 
-        # Segment plan: full segments of K = pow2(F) capped at max_chunk,
-        # plus one pow2-bucketed tail segment for the remainder — short
+        # Segment plan: full segments of K = ladder(F) capped at max_chunk,
+        # plus one ladder-bucketed tail segment for the remainder — short
         # files finish in a single dispatch + a single adaptive download,
         # and the tail never re-encodes frames.  Bucket-padding frames
         # beyond F are discarded by the host ([:valid] everywhere); they are
@@ -237,33 +399,31 @@ class Encoder:
         # has high per-transfer latency (measured: 3 segment uploads of the
         # same total bytes cost 1.7× one upload, and each small download
         # costs ~40 ms), so minimizing transfer COUNT is worth as much as
-        # minimizing bytes — padding the frame count up to a power-of-two
-        # bucket trades cheap MXU compute for expensive transfers.
+        # minimizing bytes.  Frame buckets use the 4-bit-mantissa ladder
+        # (≤12.5% compute padding, ≤8 programs per octave).
         max_chunk = cfg.encode_chunk_frames
-        K = _pow2_bucket(F, max_chunk)
+        K = min(max(_len_bucket(F), 16), max_chunk)
         plan = [(i * K, K) for i in range(F // K)]  # (start, k_frames)
         rem = F - (F // K) * K  # F >= 1, so rem > 0 whenever plan is empty
         if rem:
-            plan.append(((F // K) * K, _pow2_bucket(rem, K)))
+            plan.append(((F // K) * K, min(_len_bucket(rem), K)))
 
-        # The last segment's slice may reach past the padded signal (its
-        # bucket rounds up); extend with zeros once, host-side (cheap), so
-        # every device slice is in bounds.  The resident length must also be
-        # a hop multiple: gather_raw_device reshapes the WHOLE signal into
+        # The upload carries ONLY real bytes (rounded to the finer 5-bit
+        # ladder, ≤6.25% overshoot — upload bytes ride the link, the
+        # binding resource); the zeros the segment plan needs beyond them
+        # (the last segment's bucket rounds up) are materialized ON DEVICE
+        # by the programs' static pad_hops.  The resident length must be a
+        # hop multiple: gather_raw_device reshapes the WHOLE signal into
         # hops, and frame_signal's padding ends mid-hop (trailing hop/2,
-        # codec.rs:434-447).  For multi-segment files the length is further
-        # quantized to a 4-bit-mantissa ladder — the programs key on this
-        # shape, and an exact length would recompile them for every
-        # distinct long-file length (≤12.5% upload overshoot instead).
+        # codec.rs:434-447).  Both lengths are pure functions of the
+        # ladder-bucketed F, so the compiled-program set stays ≤16/octave.
         last_start, last_k = plan[-1]
-        need_hops = max(
-            last_start + last_k + 1,
-            (padded.shape[1] + hop - 1) // hop,
-        )
-        if len(plan) > 1:
-            need_hops = _len_bucket(need_hops)
-        padded = zero_extend(padded, need_hops * hop)
+        p_hops = (padded.shape[1] + hop - 1) // hop
+        need_hops = max(last_start + last_k + 1, p_hops)
+        up_hops = min(_len_bucket(p_hops, 5), need_hops)
+        padded = zero_extend(padded, up_hops * hop)
         xfull_dev = jax.device_put(padded)
+        params["pad_hops"] = need_hops
 
         nnz_all = np.empty((F, C), np.int64)
         scales_all = np.empty((F, C), np.float32)
@@ -284,7 +444,9 @@ class Encoder:
             # packed pairs; a second fetch happens only when the guess was
             # short (the guess adapts per (channels, chunk) key).
             guess = self._pair_guess.get((C, k), max(budget // 8, 1 << 14))
-            cut0 = _pow2_bucket(guess, budget)
+            # 5-bit ladder: the pairs download is link bytes, so its bucket
+            # overshoot is capped at 6.25% (pow2 wasted up to 2×)
+            cut0 = min(_len_bucket(guess, 5), budget)
             first = np.asarray(out_d[: S + cut0])
             stats = first[:S].reshape(k, stats_width)
             nnz = stats[:, :C].astype(np.int64)
@@ -306,7 +468,7 @@ class Encoder:
 
             if wanted > 0 and wanted <= budget:
                 if wanted > cut0:
-                    cut = _pow2_bucket(wanted, budget)
+                    cut = min(_len_bucket(wanted, 5), budget)
                     tail = np.asarray(out_d[S + cut0 : S + cut])
                     packed = np.concatenate([first[S:], tail])[:wanted]
                 else:
@@ -354,7 +516,7 @@ class Encoder:
                 idx_pad[: len(ridx)] = ridx
                 rows = np.asarray(
                     gather_raw_device(xfull_dev, idx_pad, tb.window,
-                                      pcm16=pcm16)
+                                      pad_hops=need_hops, pcm16=pcm16)
                 )[: len(ridx)]
                 # channel-major flatten — the reference's actual storage
                 # layout (codec.rs:471-503, quirk Q13)

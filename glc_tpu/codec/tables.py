@@ -52,6 +52,28 @@ def pow2_bucket(count: int, cap: int, floor: int = 16) -> int:
     return min(b, cap)
 
 
+def len_bucket(x: int, bits: int = 4) -> int:
+    """Smallest m·2^e ≥ x with 2^(bits−1) ≤ m < 2^bits (a `bits`-bit-mantissa
+    ladder): overshoot ≤ 2^(1−bits), ≤ 2^(bits−1) distinct values per octave.
+
+    The finer cousin of `pow2_bucket`: a power-of-two bucket wastes up to
+    2× on whatever scales with the bucketed size.  That is fine for cheap
+    compute padding but NOT for host↔device transfer sizes — the link is
+    the binding resource, so upload/download shapes use this ladder (e.g.
+    bits=5 → ≤6.25% overshoot) and trade a few more compiled programs per
+    octave for near-exact transfer volume."""
+    floor = 1 << bits
+    if x <= floor:
+        return floor
+    e = x.bit_length() - bits
+    m = -(-x >> e)  # ceil(x / 2^e)
+    if m >= (1 << bits):
+        return (1 << (bits - 1)) << (e + 1)
+    return m << e
+
+
 def chunk_size_for(num_frames: int, max_chunk: int) -> int:
-    """Power-of-two frame-chunk size ≥ num_frames, capped at max_chunk."""
-    return pow2_bucket(num_frames, max_chunk, floor=128)
+    """Frame-chunk size ≥ num_frames on the 4-bit-mantissa ladder, capped at
+    max_chunk (≤12.5% compute padding instead of pow2's ≤2×; the download
+    is prefix-sliced on device, so only compute scales with the bucket)."""
+    return min(max(len_bucket(num_frames, 4), 128), max_chunk)

@@ -189,11 +189,26 @@ def frames_from_signal(xpad: jnp.ndarray, n: int) -> jnp.ndarray:
     return blocks.transpose(1, 0, 2)
 
 
+def _zero_extend_device(xfull: jnp.ndarray, pad_hops: int, n: int) -> jnp.ndarray:
+    """Zero-extend the resident signal's sample axis to pad_hops·n on device.
+
+    The host uploads only (ladder-bucketed) real bytes; the zeros that the
+    segment plan needs beyond them are materialized in HBM, where they are
+    free — padding the UPLOAD instead would put them on the link, which is
+    the binding resource (a pow2 frame bucket used to inflate a 10.6 MB
+    upload to 16.8 MB)."""
+    if pad_hops * n > xfull.shape[1]:
+        xfull = jnp.pad(
+            xfull, ((0, 0), (0, pad_hops * n - xfull.shape[1]))
+        )
+    return xfull
+
+
 @partial(
     jax.jit,
     static_argnames=(
-        "k_frames", "budget", "pcm16", "quality", "noise_floor_db",
-        "compression_threshold", "max_q",
+        "k_frames", "budget", "pad_hops", "pcm16", "quality",
+        "noise_floor_db", "compression_threshold", "max_q",
     ),
 )
 def encode_signal_device(
@@ -211,6 +226,7 @@ def encode_signal_device(
     *,
     k_frames: int,
     budget: int,
+    pad_hops: int = 0,
     pcm16: bool = False,
     quality: float = 0.7,
     noise_floor_db: float = -48.0,
@@ -245,8 +261,27 @@ def encode_signal_device(
     pcm16=True takes int16 input and converts with /2^15 on device — exact
     for 16-bit sources (the loaders divide by 2^(bits−1), audio.rs:55,72),
     halving upload volume.
+
+    pad_hops > 0 zero-extends the resident signal to pad_hops·n samples on
+    device before slicing, so the host only uploads real bytes.
     """
+    return _encode_signal_body(
+        xfull, start, cos_table, window, norm, band_mask, band_inv_count,
+        band_pf, band_of, inv_w,
+        k_frames=k_frames, budget=budget, pad_hops=pad_hops, pcm16=pcm16,
+        quality=quality, noise_floor_db=noise_floor_db,
+        compression_threshold=compression_threshold, max_q=max_q,
+    )
+
+
+def _encode_signal_body(
+    xfull, start, cos_table, window, norm, band_mask, band_inv_count,
+    band_pf, band_of, inv_w, *, k_frames, budget, pad_hops, pcm16,
+    quality, noise_floor_db, compression_threshold, max_q,
+):
+    """Traced body shared by the single-track and batched encode programs."""
     n = cos_table.shape[0]
+    xfull = _zero_extend_device(xfull, pad_hops, n)
     xpad = jax.lax.dynamic_slice_in_dim(
         xfull, start * n, (k_frames + 1) * n, axis=1
     )
@@ -278,7 +313,61 @@ def encode_signal_device(
 @partial(
     jax.jit,
     static_argnames=(
-        "k_frames", "pcm16", "quality", "noise_floor_db",
+        "k_frames", "budget", "pad_hops", "pcm16", "quality",
+        "noise_floor_db", "compression_threshold", "max_q",
+    ),
+)
+def encode_signals_batch_device(
+    xbatch: jnp.ndarray,       # [B, C, P] resident batch of padded signals
+    starts: jnp.ndarray,       # [B] int32 segment starts, in hops
+    cos_table: jnp.ndarray,
+    window: jnp.ndarray,
+    norm: jnp.ndarray,
+    band_mask: jnp.ndarray,
+    band_inv_count: jnp.ndarray,
+    band_pf: jnp.ndarray,
+    band_of: jnp.ndarray,
+    inv_w: jnp.ndarray,
+    *,
+    k_frames: int,
+    budget: int,
+    pad_hops: int = 0,
+    pcm16: bool = False,
+    quality: float = 0.7,
+    noise_floor_db: float = -48.0,
+    compression_threshold: float = 0.85,
+    max_q: float = 32768.0,
+):
+    """Batched multi-track encode: `encode_signal_device`'s body mapped over
+    a leading track axis — the TPU-native album path.  B same-bucket tracks
+    cost ONE upload, ONE program dispatch, and ONE [B, K·(2C+1)+budget]
+    download instead of B of each; on a link with high per-transfer latency
+    this is where multi-file throughput comes from (the reference encodes
+    files serially, src/main.rs:545-583).
+
+    `lax.map`, not `vmap`: the batch axis must not change the per-track
+    math.  A vmapped einsum retiles the MDCT matmul and shifts results by
+    ±1 ulp vs the single-track program (measured on a v5e), which moves
+    quantizer keep-gate decisions and breaks the bit-identical-to-`encode`
+    contract; lax.map runs the identical per-track computation in a device
+    loop — measured bit-identical — and the per-track compute is small
+    enough that serializing it on device costs nothing next to the link."""
+    body = partial(
+        _encode_signal_body,
+        cos_table=cos_table, window=window, norm=norm, band_mask=band_mask,
+        band_inv_count=band_inv_count, band_pf=band_pf, band_of=band_of,
+        inv_w=inv_w,
+        k_frames=k_frames, budget=budget, pad_hops=pad_hops, pcm16=pcm16,
+        quality=quality, noise_floor_db=noise_floor_db,
+        compression_threshold=compression_threshold, max_q=max_q,
+    )
+    return jax.lax.map(lambda t: body(t[0], t[1]), (xbatch, starts))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k_frames", "pad_hops", "pcm16", "quality", "noise_floor_db",
         "compression_threshold", "max_q",
     ),
 )
@@ -295,6 +384,7 @@ def encode_signal_dense_device(
     inv_w: jnp.ndarray,
     *,
     k_frames: int,
+    pad_hops: int = 0,
     pcm16: bool = False,
     quality: float = 0.7,
     noise_floor_db: float = -48.0,
@@ -306,6 +396,7 @@ def encode_signal_dense_device(
     content).  Slices the same resident signal as `encode_signal_device`.
     Returns (q, nnz, scale, use_raw)."""
     n = cos_table.shape[0]
+    xfull = _zero_extend_device(xfull, pad_hops, n)
     xpad = jax.lax.dynamic_slice_in_dim(
         xfull, start * n, (k_frames + 1) * n, axis=1
     )
@@ -323,21 +414,23 @@ def encode_signal_dense_device(
     return q, nnz, scale, use_raw
 
 
-@partial(jax.jit, static_argnames=("pcm16",))
+@partial(jax.jit, static_argnames=("pad_hops", "pcm16"))
 def gather_raw_device(
     xpad: jnp.ndarray,    # [C, P] f32 (or i16 when pcm16=True)
     idx: jnp.ndarray,     # [R] int32 frame indices (host-padded, in range)
     window: jnp.ndarray,
     *,
+    pad_hops: int = 0,
     pcm16: bool = False,
 ):
     """Windowed raw-PCM rows for the frames that chose the fallback
     (codec.rs:496-502): ×32767, clamp, truncate toward zero.  Only the
     selected frames cross the link.  Returns int16 [R, C, 2n]."""
+    n = window.shape[0] // 2
+    xpad = _zero_extend_device(xpad, pad_hops, n)
     if pcm16:
         xpad = xpad.astype(jnp.float32) / np.float32(32768.0)
     C, P = xpad.shape
-    n = window.shape[0] // 2
     r = xpad.reshape(C, P // n, n)
     a = jnp.take(r, idx, axis=1, mode="clip")          # [C, R, n]
     b = jnp.take(r, idx + 1, axis=1, mode="clip")

@@ -133,3 +133,31 @@ def test_compaction_matches_reference_order():
         lambda q, z: _compact_pairs(q, z, n, budget))(q2, nnz2))
     ref2 = host_ref(q2)
     np.testing.assert_array_equal(got2[: len(ref2)], ref2)
+
+
+def test_encode_many_batched_group_matches_serial():
+    """Same-bucket tracks go through ONE batched device program
+    (encode_signals_batch_device); containers must be bit-identical to
+    per-file encodes — including a white-noise track that exercises the
+    raw-PCM fallback inside the batch."""
+    from utils import generate_sine_wave, generate_white_noise
+
+    enc = Encoder(44100)
+    a = generate_sine_wave(440.0, 44100, 2, 1.0)
+    b = generate_sine_wave(523.25, 44100, 2, 1.0)
+    c = generate_white_noise(44100, 2, 1.0, seed=7)  # raw fallback frames
+    d = np.clip(
+        generate_sine_wave(330.0, 44100, 2, 1.0) * 32767.0, -32768, 32767
+    ).astype(np.int16)
+
+    # f32 group of three + the i16 goes to its own (pcm16) group
+    many = enc.encode_many([(a, 2), (b, 2), (c, 2), (d, 2)])
+    singles = [
+        enc.encode(a, 2),
+        enc.encode(b, 2),
+        enc.encode(c, 2),
+        enc.encode_pcm16(d, 2),
+    ]
+    for got, want in zip(many, singles):
+        assert serialize_encoded(got) == serialize_encoded(want)
+    assert singles[2].frame_set.raw_mask.any()  # noise hit the raw path
