@@ -40,6 +40,17 @@ class _Cancelled(Exception):
     stream (rx.cancelled set)."""
 
 
+def _start_host_copy(arr):
+    """Kick off the device→host copy of a dispatched result so the later
+    np.asarray finds it local — chunk downloads overlap later chunks'
+    compute instead of paying the relay's per-transfer latency serially."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:
+        pass  # np.asarray will do a synchronous copy
+    return arr
+
+
 _pow2_bucket = pow2_bucket
 _len_bucket = len_bucket
 
@@ -282,14 +293,14 @@ class Decoder:
         carry = jax.device_put(np.zeros((C, n), np.float32))
         window_raw = not cfg.reference_compat  # fix Q4 in clean mode
 
-        pending = []          # list of [K, C, n] hop arrays (numpy)
+        pending = []          # list of [K, n, C] hop arrays (numpy)
         pending_frames = 0
         emitted = 0           # frames emitted so far
 
         def emit(frames_needed: int, hops_concat) -> None:
             nonlocal emitted
-            # interleave [Kf, C, n] -> flat [Kf*n*C]
-            flat = hops_concat.transpose(0, 2, 1).reshape(-1)
+            # [Kf, n, C] arrives interleaved from the device — flat view
+            flat = hops_concat.reshape(-1)
             self._put(rx, AudioChunk(samples=flat, is_last=False))
             emitted += frames_needed
 
@@ -337,9 +348,10 @@ class Decoder:
                 max_q=cfg.max_q,
                 window_raw=window_raw,
                 use_pallas=cfg.use_pallas,
+                out_interleave=True,
             )
             # device-side prefix slice: chunk padding never crosses the link
-            hops = take_prefix_device(hops, valid)
+            hops = _start_host_copy(take_prefix_device(hops, valid))
             prev, inflight = inflight, (hops, valid)
             if prev is not None:
                 drain(prev)
@@ -353,7 +365,7 @@ class Decoder:
         tail = np.asarray(carry).T.reshape(1, -1)  # [1, n*C] interleaved
         if pending_frames:
             buf = np.concatenate(pending) if len(pending) > 1 else pending[0]
-            flat = buf.transpose(0, 2, 1).reshape(-1)
+            flat = buf.reshape(-1)
             last = np.concatenate([flat, tail.reshape(-1)])
         else:
             last = tail.reshape(-1)
@@ -406,8 +418,8 @@ class Decoder:
 
         def collect(handle):
             hops_d, valid = handle
-            hops = np.asarray(hops_d)[:valid]          # [valid, C, n] i16
-            return trim(hops.transpose(0, 2, 1).reshape(-1))
+            hops = np.asarray(hops_d)[:valid]          # [valid, n, C] i16
+            return trim(hops.reshape(-1))              # already interleaved
 
         handles = []
         for start in range(0, F, chunk):
@@ -426,8 +438,11 @@ class Decoder:
                 max_q=cfg.max_q, window_raw=window_raw,
                 use_pallas=cfg.use_pallas,
                 out_i16=True,
+                out_interleave=True,
             )
-            handles.append((take_prefix_device(hops_d, valid), valid))
+            handles.append(
+                (_start_host_copy(take_prefix_device(hops_d, valid)), valid)
+            )
             # bound in-flight device memory while keeping the pipeline deep
             if len(handles) > 8:
                 out = collect(handles.pop(0))

@@ -38,10 +38,10 @@ from ..container.schema import (
     GaplessInfo,
 )
 from ..ops.encode import (
-    encode_signal_dense_device,
-    encode_signal_device,
-    encode_signals_batch_device,
-    gather_raw_device,
+    encode_interleaved_batch_device,
+    encode_interleaved_dense_device,
+    encode_interleaved_device,
+    gather_raw_interleaved_device,
 )
 from .tables import get_device_tables, len_bucket, pow2_bucket
 
@@ -90,6 +90,39 @@ def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig,
 
 _pow2_bucket = pow2_bucket
 _len_bucket = len_bucket
+
+
+def frame_plan(total_samples: int, channels: int, cfg: CodecConfig):
+    """Pure-arithmetic twin of `frame_signal`: (T, F, padding) without
+    building any array — the interleaved encode path derives its framing
+    geometry from these and leaves the actual deinterleave+pad to the
+    device (ops/encode.py:_planarize_device).
+
+    T is the channel-0 length (the reference deinterleaves by i % ch,
+    codec.rs:427-431, so ragged inputs give early channels one extra
+    sample); F and padding come from channel 0 exactly as in
+    codec.rs:449-455 and :546.  Raises for the ragged inputs the
+    reference's frame slicing panics on.
+    """
+    hop, frame = cfg.hop_size, cfg.frame_size
+    if channels <= 0:
+        raise ValueError("channels must be >= 1")
+    lead = hop // 2
+
+    def padded_len(t: int) -> int:
+        rem = (lead + t) % hop
+        return lead + t + ((hop - rem) if rem else 0) + lead
+
+    T = (total_samples + channels - 1) // channels
+    P = padded_len(T)
+    if total_samples % channels and padded_len(T - 1) < P:
+        raise ValueError(
+            "ragged interleaved input where channel lengths pad to "
+            "different sizes (the reference panics on this input)"
+        )
+    F = 1 if P < frame else (P - frame) // hop + 1
+    padding = P - T - lead
+    return T, F, padding
 
 
 def zero_extend(padded: np.ndarray, need: int) -> np.ndarray:
@@ -192,21 +225,21 @@ class Encoder:
             prepped.append((samples, int(channels), pcm16))
 
         # Group batchable (single-segment) tracks by program signature.
+        lead = hop // 2
         groups: dict = {}
         solos: list = []
         for i, (samples, C, pcm16) in enumerate(prepped):
             if len(samples) == 0:
                 raise ValueError("cannot encode empty input")
-            dtype = np.int16 if pcm16 else np.float32
-            padded, F, padding, _T = frame_signal(samples, C, cfg, dtype)
+            T, F, padding = frame_plan(len(samples), C, cfg)
             K = min(max(_len_bucket(F), 16), max_chunk)
             if F <= K:
-                p_hops = (padded.shape[1] + hop - 1) // hop
+                p_hops = (lead + T + hop - 1) // hop + 1
                 need_hops = max(K + 1, p_hops)
-                up_hops = min(_len_bucket(p_hops, 5), need_hops)
-                key = (C, pcm16, K, up_hops, need_hops)
+                Tb = max(T, min(_len_bucket(T, 5), need_hops * hop - lead))
+                key = (C, pcm16, K, Tb, need_hops)
                 groups.setdefault(key, []).append(
-                    (i, len(samples), padded, F, padding)
+                    (i, samples, F, padding)
                 )
             else:
                 solos.append((i, samples, C, pcm16))
@@ -225,54 +258,39 @@ class Encoder:
 
         # Batched groups (splitting any group that would exceed the HBM cap).
         for key, recs in groups.items():
-            C, pcm16, K, up_hops, need_hops = key
+            C, pcm16, K, Tb, need_hops = key
             per_track = K * C * cfg.frame_size * 4
             cap = max(1, self._MAX_BATCH_BLOCK_BYTES // per_track)
             for off in range(0, len(recs), cap):
-                part = recs[off : off + cap]
-                if len(part) == 1:
-                    i, total, padded, F, padding = part[0]
-                    results[i] = self._finish_single(
-                        padded, F, padding, total, C, pcm16, K,
-                        up_hops, need_hops,
-                    )
-                else:
-                    self._encode_batch_group(
-                        part, results, C=C, pcm16=pcm16, K=K,
-                        up_hops=up_hops, need_hops=need_hops,
-                    )
+                self._encode_batch_group(
+                    recs[off : off + cap], results, C=C, pcm16=pcm16,
+                    K=K, Tb=Tb, need_hops=need_hops,
+                )
 
         for j, finish in finishers:
             results[j] = finish()
         return results
 
-    def _finish_single(self, padded, F, padding, total_samples, C, pcm16,
-                       K, up_hops, need_hops) -> EncodedAudio:
-        """Encode one already-framed track through the batch program with
-        B=1 (keeps group-of-one results on the same compiled-program family
-        as their group peers)."""
-        out = [None]
-        self._encode_batch_group(
-            [(0, total_samples, padded, F, padding)], out,
-            C=C, pcm16=pcm16, K=K, up_hops=up_hops, need_hops=need_hops,
-        )
-        return out[0]
-
     def _encode_batch_group(self, recs, results, *, C, pcm16, K,
-                            up_hops, need_hops) -> None:
+                            Tb, need_hops) -> None:
         """Encode a group of same-bucket single-segment tracks with one
         batched upload + dispatch + adaptive download.  Fills results[i]
-        for each (i, ...) record."""
+        for each (i, samples, F, padding) record.  Groups of one still go
+        through the B=1 batch program: lax.map's body is bit-identical to
+        the single-track program (see encode_signals_batch_device), so
+        group size never changes the bytes."""
         cfg = self.config
         hop, frame_size, n = cfg.hop_size, cfg.frame_size, cfg.n
+        lead = hop // 2
         tb = self._tables
         tables = tuple(tb)
         B = len(recs)
         dtype = np.int16 if pcm16 else np.float32
 
-        xb = np.zeros((B, C, up_hops * hop), dtype)
-        for j, (_i, _total, padded, _F, _padding) in enumerate(recs):
-            xb[j, :, : padded.shape[1]] = padded
+        L = Tb * C
+        xb = np.zeros((B, L), dtype)
+        for j, (_i, samples, _F, _padding) in enumerate(recs):
+            xb[j, : len(samples)] = samples
         xb_dev = jax.device_put(xb)
 
         budget = max(K * C * n // 8, 1 << 14)
@@ -283,8 +301,10 @@ class Encoder:
             compression_threshold=cfg.compression_threshold,
             max_q=cfg.max_q,
             pad_hops=need_hops,
+            channels=C,
+            lead=lead,
         )
-        out_d = encode_signals_batch_device(
+        out_d = encode_interleaved_batch_device(
             xb_dev, np.zeros(B, np.int32), *tables,
             k_frames=K, budget=budget, **params
         )
@@ -296,7 +316,8 @@ class Encoder:
         first = np.asarray(out_d[:, : S + cut0])   # ONE download for B tracks
 
         max_wanted = 1
-        for j, (i, total_samples, padded, F, padding) in enumerate(recs):
+        for j, (i, samples, F, padding) in enumerate(recs):
+            total_samples = len(samples)
             stats = first[j, :S].reshape(K, stats_width)
             nnz = stats[:F, :C].astype(np.int64)
             scales = stats[:F, C : 2 * C].view(np.float32).copy()
@@ -319,7 +340,7 @@ class Encoder:
             elif wanted > budget:
                 # dense fallback, per track (atypically dense content)
                 q_d, nnz2_d, scale2_d, use_raw2_d = (
-                    encode_signal_dense_device(
+                    encode_interleaved_dense_device(
                         xb_dev[j], np.int32(0), *tables,
                         k_frames=K, **params
                     )
@@ -343,8 +364,10 @@ class Encoder:
                 idx_pad = np.zeros(rbudget, np.int32)
                 idx_pad[: len(ridx)] = ridx
                 rows = np.asarray(
-                    gather_raw_device(xb_dev[j], idx_pad, tb.window,
-                                      pad_hops=need_hops, pcm16=pcm16)
+                    gather_raw_interleaved_device(
+                        xb_dev[j], idx_pad, tb.window,
+                        channels=C, lead=lead, pad_hops=need_hops,
+                        pcm16=pcm16)
                 )[: len(ridx)]
                 raw_all = rows.reshape(-1, C * frame_size)
             else:
@@ -372,7 +395,8 @@ class Encoder:
             raise ValueError("cannot encode empty input")
 
         dtype = np.int16 if pcm16 else np.float32
-        padded, F, padding, _T = frame_signal(samples, C, cfg, dtype)
+        lead = hop // 2
+        T, F, padding = frame_plan(total_samples, C, cfg)
         tb = self._tables
         params = dict(
             pcm16=pcm16,
@@ -381,7 +405,7 @@ class Encoder:
             compression_threshold=cfg.compression_threshold,
             max_q=cfg.max_q,
         )
-        # DeviceTables field order matches encode_signal_device's parameters
+        # DeviceTables field order matches encode_interleaved_device's params
         tables = tuple(tb)
 
         # Segment plan: full segments of K = ladder(F) capped at max_chunk,
@@ -408,22 +432,30 @@ class Encoder:
         if rem:
             plan.append(((F // K) * K, min(_len_bucket(rem), K)))
 
-        # The upload carries ONLY real bytes (rounded to the finer 5-bit
-        # ladder, ≤6.25% overshoot — upload bytes ride the link, the
-        # binding resource); the zeros the segment plan needs beyond them
-        # (the last segment's bucket rounds up) are materialized ON DEVICE
-        # by the programs' static pad_hops.  The resident length must be a
-        # hop multiple: gather_raw_device reshapes the WHOLE signal into
-        # hops, and frame_signal's padding ends mid-hop (trailing hop/2,
-        # codec.rs:434-447).  Both lengths are pure functions of the
-        # ladder-bucketed F, so the compiled-program set stays ≤16/octave.
+        # The upload is the user's INTERLEAVED buffer, untouched when its
+        # per-channel length lands on the 5-bit ladder and zero-completed
+        # into a bucketed copy otherwise (one contiguous memcpy, ≤6.25%
+        # overshoot — upload bytes ride the link, the binding resource, and
+        # a host-side deinterleave would put a 1-core strided transpose on
+        # the critical path).  The deinterleave, the hop/2 lead, and the
+        # trailing zeros the segment plan needs all materialize ON DEVICE
+        # (_planarize_device + static pad_hops).  Both bucketed lengths are
+        # pure functions of the laddered T, so the compiled-program set
+        # stays ≤16/octave.
         last_start, last_k = plan[-1]
-        p_hops = (padded.shape[1] + hop - 1) // hop
+        p_hops = (lead + T + hop - 1) // hop + 1   # hops covering lead+T+lead
         need_hops = max(last_start + last_k + 1, p_hops)
-        up_hops = min(_len_bucket(p_hops, 5), need_hops)
-        padded = zero_extend(padded, up_hops * hop)
-        xfull_dev = jax.device_put(padded)
+        Tb = max(T, min(_len_bucket(T, 5), need_hops * hop - lead))
+        L = Tb * C
+        if L == total_samples:
+            xup = samples
+        else:
+            xup = np.zeros(L, dtype)
+            xup[:total_samples] = samples
+        xinter_dev = jax.device_put(xup)
         params["pad_hops"] = need_hops
+        params["channels"] = C
+        params["lead"] = lead
 
         nnz_all = np.empty((F, C), np.int64)
         scales_all = np.empty((F, C), np.float32)
@@ -434,20 +466,33 @@ class Encoder:
 
         # Segments are dispatched ahead of collection so compute and
         # downloads pipeline on the link, with a bounded in-flight window
-        # so very long files cannot exhaust HBM with live buffers.
-        segs = []  # (start, valid, k, out_d, budget)
+        # so very long files cannot exhaust HBM with live buffers.  The
+        # adaptive prefix slice is taken and its host copy STARTED at
+        # dispatch time (copy_to_host_async), so segment downloads overlap
+        # later segments' compute instead of each paying the relay's
+        # per-transfer latency serially at collect time.
+        segs = []  # (start, valid, k, out_d, sliced, cut0, budget)
 
-        def collect(rec):
-            start, valid, k, out_d, budget = rec
+        def slice_async(out_d, k, budget):
             S = k * stats_width
             # One transfer fetches the stats prefix plus a guessed number of
             # packed pairs; a second fetch happens only when the guess was
-            # short (the guess adapts per (channels, chunk) key).
+            # short (the guess adapts per (channels, chunk) key).  5-bit
+            # ladder: the pairs download is link bytes, so its bucket
+            # overshoot is capped at 6.25% (pow2 wasted up to 2×).
             guess = self._pair_guess.get((C, k), max(budget // 8, 1 << 14))
-            # 5-bit ladder: the pairs download is link bytes, so its bucket
-            # overshoot is capped at 6.25% (pow2 wasted up to 2×)
             cut0 = min(_len_bucket(guess, 5), budget)
-            first = np.asarray(out_d[: S + cut0])
+            sliced = out_d[: S + cut0]
+            try:
+                sliced.copy_to_host_async()
+            except Exception:
+                pass  # fall back to the synchronous copy in collect
+            return sliced, cut0
+
+        def collect(rec):
+            start, valid, k, out_d, sliced, cut0, budget = rec
+            S = k * stats_width
+            first = np.asarray(sliced)
             stats = first[:S].reshape(k, stats_width)
             nnz = stats[:, :C].astype(np.int64)
             scale = stats[:, C : 2 * C].view(np.float32)
@@ -485,9 +530,11 @@ class Encoder:
                 # ±1 ulp from the compacting program's — so nnz/scales/
                 # use_raw are taken from the dense program too, keeping the
                 # container self-consistent (pairs segmented by nnz).
-                q_d, nnz2_d, scale2_d, use_raw2_d = encode_signal_dense_device(
-                    xfull_dev, np.int32(start), *tables,
-                    k_frames=k, **params
+                q_d, nnz2_d, scale2_d, use_raw2_d = (
+                    encode_interleaved_dense_device(
+                        xinter_dev, np.int32(start), *tables,
+                        k_frames=k, **params
+                    )
                 )
                 from ..ops.decode import take_prefix_device
 
@@ -515,8 +562,10 @@ class Encoder:
                 idx_pad = np.zeros(rbudget, np.int32)
                 idx_pad[: len(ridx)] = ridx
                 rows = np.asarray(
-                    gather_raw_device(xfull_dev, idx_pad, tb.window,
-                                      pad_hops=need_hops, pcm16=pcm16)
+                    gather_raw_interleaved_device(
+                        xinter_dev, idx_pad, tb.window,
+                        channels=C, lead=lead, pad_hops=need_hops,
+                        pcm16=pcm16)
                 )[: len(ridx)]
                 # channel-major flatten — the reference's actual storage
                 # layout (codec.rs:471-503, quirk Q13)
@@ -525,11 +574,12 @@ class Encoder:
         for start, k in plan:
             valid = min(k, F - start)
             budget = max(k * C * n // 8, 1 << 14)
-            out_d = encode_signal_device(
-                xfull_dev, np.int32(start), *tables,
+            out_d = encode_interleaved_device(
+                xinter_dev, np.int32(start), *tables,
                 k_frames=k, budget=budget, **params
             )
-            segs.append((start, valid, k, out_d, budget))
+            sliced, cut0 = slice_async(out_d, k, budget)
+            segs.append((start, valid, k, out_d, sliced, cut0, budget))
             if len(segs) > 4:
                 collect(segs.pop(0))
 

@@ -131,7 +131,7 @@ def decode_chunk_device(
 
 @partial(jax.jit, static_argnames=("K", "C", "n", "budget", "rbudget",
                                    "max_q", "window_raw", "use_pallas",
-                                   "out_i16"))
+                                   "out_i16", "out_interleave"))
 def decode_chunk_packed_device(
     words: jnp.ndarray,      # [budget + K*C//2 + K*C + K] int32 — see layout
     raw_words: jnp.ndarray,  # [rbudget + rbudget*C*frame_size//2] int32, or
@@ -151,6 +151,7 @@ def decode_chunk_packed_device(
     window_raw: bool = False,
     use_pallas: bool = False,
     out_i16: bool = False,
+    out_interleave: bool = False,
 ):
     """Transfer-minimal decode: the host uploads ONE packed int32 buffer per
     chunk (plus one raw-frame buffer only when raw frames exist) and the
@@ -182,6 +183,12 @@ def decode_chunk_packed_device(
     host-side conversion; the differently-fused program can shift hops by
     ±1 ulp).  Callers download a prefix via `take_prefix_device` so chunk
     padding never crosses the link.
+
+    out_interleave=True returns hops as [K, n, C] (interleaved sample
+    order): the relayout is free on device, while the equivalent host
+    transpose of a downloaded [K, C, n] chunk costs tens of ms per 10 MB
+    on the 1-core VM.  Values are identical — it is a pure layout change
+    applied after all arithmetic.
     """
     frame_size = 2 * n
     o0 = budget
@@ -244,4 +251,6 @@ def decode_chunk_packed_device(
         hops = jnp.trunc(
             jnp.clip(prod, np.float32(-32768.0), np.float32(32767.0))
         ).astype(jnp.int16)
+    if out_interleave:
+        hops = hops.transpose(0, 2, 1)   # [K, n, C] — interleaved order
     return hops, new_carry

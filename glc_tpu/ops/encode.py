@@ -189,6 +189,24 @@ def frames_from_signal(xpad: jnp.ndarray, n: int) -> jnp.ndarray:
     return blocks.transpose(1, 0, 2)
 
 
+def _planarize_device(xinter: jnp.ndarray, channels: int, lead: int,
+                      n: int, pad_hops: int) -> jnp.ndarray:
+    """Interleaved [L] (bucketed, zero-tailed) → planar [C, pad_hops·n] with
+    the lead zeros prepended — frame_signal's deinterleave+pad
+    (reference src/codec.rs:427-455) executed on device.
+
+    The host hands over the user's PCM buffer untouched (for a
+    ladder-aligned length, literally the same array): no 1-core strided
+    transpose on the critical path, no padding bytes on the link.  The
+    caller guarantees L % channels == 0 (ragged inputs are zero-completed
+    host-side, which reproduces the reference's modulo deinterleave
+    exactly) and lead + L/channels ≤ pad_hops·n."""
+    L = xinter.shape[0]
+    T = L // channels
+    x = xinter.reshape(T, channels).T
+    return jnp.pad(x, ((0, 0), (lead, pad_hops * n - lead - T)))
+
+
 def _zero_extend_device(xfull: jnp.ndarray, pad_hops: int, n: int) -> jnp.ndarray:
     """Zero-extend the resident signal's sample axis to pad_hops·n on device.
 
@@ -428,6 +446,179 @@ def gather_raw_device(
     selected frames cross the link.  Returns int16 [R, C, 2n]."""
     n = window.shape[0] // 2
     xpad = _zero_extend_device(xpad, pad_hops, n)
+    if pcm16:
+        xpad = xpad.astype(jnp.float32) / np.float32(32768.0)
+    C, P = xpad.shape
+    r = xpad.reshape(C, P // n, n)
+    a = jnp.take(r, idx, axis=1, mode="clip")          # [C, R, n]
+    b = jnp.take(r, idx + 1, axis=1, mode="clip")
+    blocks = jnp.concatenate([a, b], axis=-1).transpose(1, 0, 2)
+    win = blocks * window
+    return jnp.trunc(
+        jnp.clip(win * np.float32(32767.0), np.float32(-32768.0),
+                 np.float32(32767.0))
+    ).astype(jnp.int16)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "channels", "lead", "k_frames", "budget", "pad_hops", "pcm16",
+        "quality", "noise_floor_db", "compression_threshold", "max_q",
+    ),
+)
+def encode_interleaved_device(
+    xinter: jnp.ndarray,       # [L] interleaved PCM, L = Tb·channels,
+                               # resident in HBM; f32, or i16 when pcm16=True
+    start: jnp.ndarray,        # scalar int32 — segment start, in hops
+    cos_table: jnp.ndarray,
+    window: jnp.ndarray,
+    norm: jnp.ndarray,
+    band_mask: jnp.ndarray,
+    band_inv_count: jnp.ndarray,
+    band_pf: jnp.ndarray,
+    band_of: jnp.ndarray,
+    inv_w: jnp.ndarray,
+    *,
+    channels: int,
+    lead: int,
+    k_frames: int,
+    budget: int,
+    pad_hops: int,
+    pcm16: bool = False,
+    quality: float = 0.7,
+    noise_floor_db: float = -48.0,
+    compression_threshold: float = 0.85,
+    max_q: float = 32768.0,
+):
+    """`encode_signal_device` taking the raw INTERLEAVED buffer: the
+    deinterleave + lead/tail padding of frame_signal happen on device
+    (reference src/codec.rs:427-455), so the host uploads the user's PCM
+    bytes untouched.  Output layout identical to encode_signal_device."""
+    n = cos_table.shape[0]
+    xfull = _planarize_device(xinter, channels, lead, n, pad_hops)
+    return _encode_signal_body(
+        xfull, start, cos_table, window, norm, band_mask, band_inv_count,
+        band_pf, band_of, inv_w,
+        k_frames=k_frames, budget=budget, pad_hops=0, pcm16=pcm16,
+        quality=quality, noise_floor_db=noise_floor_db,
+        compression_threshold=compression_threshold, max_q=max_q,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "channels", "lead", "k_frames", "budget", "pad_hops", "pcm16",
+        "quality", "noise_floor_db", "compression_threshold", "max_q",
+    ),
+)
+def encode_interleaved_batch_device(
+    xbatch: jnp.ndarray,       # [B, L] interleaved tracks, same bucket
+    starts: jnp.ndarray,       # [B] int32
+    cos_table: jnp.ndarray,
+    window: jnp.ndarray,
+    norm: jnp.ndarray,
+    band_mask: jnp.ndarray,
+    band_inv_count: jnp.ndarray,
+    band_pf: jnp.ndarray,
+    band_of: jnp.ndarray,
+    inv_w: jnp.ndarray,
+    *,
+    channels: int,
+    lead: int,
+    k_frames: int,
+    budget: int,
+    pad_hops: int,
+    pcm16: bool = False,
+    quality: float = 0.7,
+    noise_floor_db: float = -48.0,
+    compression_threshold: float = 0.85,
+    max_q: float = 32768.0,
+):
+    """Batched album path over interleaved tracks — see
+    encode_signals_batch_device for why lax.map (bit-identity with the
+    single-track program) and not vmap."""
+    n = cos_table.shape[0]
+
+    def body(t):
+        xinter, start = t
+        xfull = _planarize_device(xinter, channels, lead, n, pad_hops)
+        return _encode_signal_body(
+            xfull, start, cos_table, window, norm, band_mask,
+            band_inv_count, band_pf, band_of, inv_w,
+            k_frames=k_frames, budget=budget, pad_hops=0, pcm16=pcm16,
+            quality=quality, noise_floor_db=noise_floor_db,
+            compression_threshold=compression_threshold, max_q=max_q,
+        )
+
+    return jax.lax.map(body, (xbatch, starts))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "channels", "lead", "k_frames", "pad_hops", "pcm16",
+        "quality", "noise_floor_db", "compression_threshold", "max_q",
+    ),
+)
+def encode_interleaved_dense_device(
+    xinter: jnp.ndarray,
+    start: jnp.ndarray,
+    cos_table: jnp.ndarray,
+    window: jnp.ndarray,
+    norm: jnp.ndarray,
+    band_mask: jnp.ndarray,
+    band_inv_count: jnp.ndarray,
+    band_pf: jnp.ndarray,
+    band_of: jnp.ndarray,
+    inv_w: jnp.ndarray,
+    *,
+    channels: int,
+    lead: int,
+    k_frames: int,
+    pad_hops: int,
+    pcm16: bool = False,
+    quality: float = 0.7,
+    noise_floor_db: float = -48.0,
+    compression_threshold: float = 0.85,
+    max_q: float = 32768.0,
+):
+    """Dense-transfer fallback of the interleaved path — see
+    encode_signal_dense_device.  Returns (q, nnz, scale, use_raw)."""
+    n = cos_table.shape[0]
+    xfull = _planarize_device(xinter, channels, lead, n, pad_hops)
+    if pcm16:
+        xfull = xfull.astype(jnp.float32) / np.float32(32768.0)
+    xpad = jax.lax.dynamic_slice_in_dim(
+        xfull, start * n, (k_frames + 1) * n, axis=1
+    )
+    blocks = frames_from_signal(xpad, n)
+    q, nnz, scale, _raw, use_raw = encode_math(
+        blocks, cos_table, window, norm, band_mask, band_inv_count,
+        band_pf, band_of, inv_w,
+        quality=quality, noise_floor_db=noise_floor_db,
+        compression_threshold=compression_threshold, max_q=max_q,
+    )
+    q = jnp.where(use_raw[:, None, None], jnp.int16(0), q)
+    nnz = jnp.where(use_raw[:, None], 0, nnz)
+    return q, nnz, scale, use_raw
+
+
+@partial(jax.jit, static_argnames=("channels", "lead", "pad_hops", "pcm16"))
+def gather_raw_interleaved_device(
+    xinter: jnp.ndarray,  # [L] interleaved (or [B?, L]: 1-D only here)
+    idx: jnp.ndarray,     # [R] int32 frame indices (host-padded, in range)
+    window: jnp.ndarray,
+    *,
+    channels: int,
+    lead: int,
+    pad_hops: int,
+    pcm16: bool = False,
+):
+    """gather_raw_device over the interleaved resident buffer."""
+    n = window.shape[0] // 2
+    xpad = _planarize_device(xinter, channels, lead, n, pad_hops)
     if pcm16:
         xpad = xpad.astype(jnp.float32) / np.float32(32768.0)
     C, P = xpad.shape

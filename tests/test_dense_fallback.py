@@ -3,7 +3,7 @@
 The device encode compacts sparse pairs into a fixed budget (12.5% of
 coefficient slots).  Content between that budget and the ~83% density where
 the raw-PCM fallback trips (the size model of reference src/codec.rs:506-521)
-takes a DIFFERENT compiled program (`encode_signal_dense_device`), whose
+takes a DIFFERENT compiled program (`encode_interleaved_dense_device`), whose
 keep-gate can differ by ±1 ulp from the compacting program's — so the
 encoder takes nnz/scales/use_raw from the dense program too.  These tests
 pin that self-consistency: the fallback actually fires on realistic
@@ -43,13 +43,13 @@ def bandlimited_noise(duration_s: float, channels: int, frac: float = 0.4,
 def count_dense_calls(monkeypatch):
     """Wrap the dense-fallback device call with a counter."""
     calls = {"n": 0}
-    real = encoder_mod.encode_signal_dense_device
+    real = encoder_mod.encode_interleaved_dense_device
 
     def counting(*args, **kwargs):
         calls["n"] += 1
         return real(*args, **kwargs)
 
-    monkeypatch.setattr(encoder_mod, "encode_signal_dense_device", counting)
+    monkeypatch.setattr(encoder_mod, "encode_interleaved_dense_device", counting)
     return calls
 
 
