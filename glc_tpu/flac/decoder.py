@@ -23,12 +23,20 @@ class FlacDecodeError(ValueError):
 
 def decode_flac(data: bytes) -> Tuple[np.ndarray, int, int, int]:
     """Decode a FLAC stream → (interleaved int32 samples, sample_rate,
-    channels, bits_per_sample)."""
+    channels, bits_per_sample).
+
+    Native decoder when available; otherwise the pure-Python twin
+    (pydecoder.py) — slow but complete, so a toolchain-less install keeps
+    FLAC input and the conformance oracle (the role claxon's hard dependency
+    plays in the reference, src/audio.rs:66-83)."""
     lib = get_native()
     if lib is None:
-        raise FlacDecodeError(
-            "native FLAC decoder unavailable (build native/ with make)"
-        )
+        from .pydecoder import decode_flac_python
+
+        try:
+            return decode_flac_python(data)
+        except ValueError as e:
+            raise FlacDecodeError(str(e)) from None
     c = ctypes
     buf = np.frombuffer(data, np.uint8)
     out_ptr = c.POINTER(c.c_int32)()
