@@ -17,7 +17,11 @@ unit-testable without a display; this module is only the tkinter view:
 widgets, pickers, and a 100 ms poll of `controller.snapshot()`.
 
 Launched by `glc` with no arguments when a display is available
-(main.rs:586-611).
+(main.rs:586-611).  `build_gui` constructs the widget tree and returns the
+root plus one poll step without entering mainloop, so the view's
+listbox-sync and progress pack/forget logic is drivable under a virtual
+display in tests (tests/test_ui_view.py); `run_gui` is the mainloop shell
+around it.
 """
 
 from __future__ import annotations
@@ -25,11 +29,13 @@ from __future__ import annotations
 from .controller import CodecController
 
 
-def run_gui() -> int:
+def build_gui(ctl: CodecController):
+    """Build the widget tree; returns (root, poll) where poll() runs ONE
+    snapshot-sync cycle (the body of the 100 ms repaint loop) without
+    rescheduling itself."""
     import tkinter as tk
     from tkinter import filedialog, ttk
 
-    ctl = CodecController()
     root = tk.Tk()
     root.title("Gapless Lossy Codec")  # main.rs:594
     root.geometry("900x700")           # main.rs:593
@@ -132,7 +138,7 @@ def run_gui() -> int:
                command=test_audio_device).pack(side="left", padx=8)
 
     def poll():
-        """100 ms repaint loop (ui.rs:475-478)."""
+        """One cycle of the repaint loop (ui.rs:475-478)."""
         snap = ctl.snapshot()
         status_var.set(snap.status)
         detail_var.set(snap.detail)
@@ -152,8 +158,18 @@ def run_gui() -> int:
             export_progress["value"] = snap.export_progress
         elif export_progress.winfo_ismapped():
             export_progress.pack_forget()
-        root.after(100, poll)
 
-    poll()
+    return root, poll
+
+
+def run_gui() -> int:
+    ctl = CodecController()
+    root, poll = build_gui(ctl)
+
+    def tick():
+        poll()
+        root.after(100, tick)  # 100 ms repaint loop (ui.rs:475-478)
+
+    tick()
     root.mainloop()
     return 0
