@@ -32,7 +32,20 @@ ProgressSender = Callable[[Progress], None]
 
 # placeholder for the raw-frame buffer when a chunk has no raw frames
 # (rbudget=0 compiles a no-raw program; the arg must still be an array)
-_EMPTY_I32 = np.empty(0, np.int32)
+_zero_carry_cache: dict = {}
+
+
+def _zero_carry_device(C: int, n: int):
+    """Device-resident zero [C, n] f32 carry, cached per shape: every decode
+    starts from silence, and uploading the same 8 KB of zeros costs ~25 ms
+    of per-transfer latency on this relay.  jax arrays are immutable, so one
+    cached buffer serves every decode."""
+    key = (C, n)
+    buf = _zero_carry_cache.get(key)
+    if buf is None:
+        buf = jax.device_put(np.zeros((C, n), np.float32))
+        _zero_carry_cache[key] = buf
+    return buf
 
 
 class _Cancelled(Exception):
@@ -60,10 +73,10 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     """Packed upload payload for frames [start, start+count) of a K-frame
     chunk (count ≤ K; the rest is padding).
 
-    Returns (words int32, raw_words int32 | None, budget, rbudget) for
-    `decode_chunk_packed_device` — ONE buffer per chunk (plus one raw
-    buffer only when raw frames exist) because the link's per-transfer
-    latency makes six small uploads far slower than one combined one.
+    Returns (words int32, budget, rbudget) for
+    `decode_chunk_packed_device` — ONE buffer per chunk, raw frames
+    included, because the link's per-transfer latency (~25-40 ms regardless
+    of size) makes several small uploads far slower than one combined one.
     See the device docstring for the section layout.  The raw-PCM byte
     layout is read back *interleaved* (sample_idx = i*channels + ch,
     reference src/codec.rs:636) even though the encoder stored it
@@ -121,7 +134,13 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
             f"budget {budget} for a {K}-frame chunk"
         )
 
-    words = np.empty(budget + (K * C) // 2 + K * C + K, np.int32)
+    R = int(is_raw_v.sum())
+    # raw rows are the widest upload records (C·frame_size i16 each), so
+    # they get the 4-bit ladder too (floor 16, ≤12.5% overshoot)
+    rbudget = min(_len_bucket(R, 4), K) if R else 0
+    base = budget + (K * C) // 2 + K * C + K
+    raw_sec = rbudget + rbudget * C * frame_size // 2
+    words = np.empty(base + raw_sec, np.int32)
     kv = words[:budget].view(np.uint32)
     kv[:] = 0xFFFF0000  # fill: k = 0xFFFF ≥ n → dropped by the device
     if P:
@@ -140,18 +159,14 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     scale_sec = words[o1 : o1 + K * C].view(np.float32)
     scale_sec[: count * C] = fs.scales[start : start + count].reshape(-1)
     scale_sec[count * C :] = 0.0
-    flag_sec = words[o1 + K * C :]
+    flag_sec = words[o1 + K * C : o1 + K * C + K]
     flag_sec[:count] = is_raw_v
     flag_sec[count:] = 0
 
-    R = int(is_raw_v.sum())
     if R == 0:
-        return words, None, budget, 0
+        return words, budget, 0
 
-    # raw rows are the widest upload records (C·frame_size i16 each), so
-    # they get the 4-bit ladder too (floor 16, ≤12.5% overshoot)
-    rbudget = min(_len_bucket(R, 4), K)
-    raw_words = np.empty(rbudget + rbudget * C * frame_size // 2, np.int32)
+    raw_words = words[base:]
     raw_words[:rbudget] = K  # fill indices → dropped
     raw_words[:R] = np.flatnonzero(is_raw_v).astype(np.int32)
     rows_sec = raw_words[rbudget:].view(np.int16).reshape(
@@ -166,7 +181,7 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
         # clean mode: read channel-major, as actually stored
         rows_sec[:R] = rows.reshape(-1, C, frame_size)
     rows_sec[R:] = 0
-    return words, raw_words, budget, rbudget
+    return words, budget, rbudget
 
 
 def gapless_trim_bounds(pre_len: int, gapless_info, channels: int,
@@ -290,7 +305,7 @@ class Decoder:
 
         flush_frames = cfg.frames_per_chunk
         chunk = chunk_size_for(max(F, 1), cfg.decode_chunk_frames)
-        carry = jax.device_put(np.zeros((C, n), np.float32))
+        carry = _zero_carry_device(C, n)
         window_raw = not cfg.reference_compat  # fix Q4 in clean mode
 
         pending = []          # list of [K, n, C] hop arrays (numpy)
@@ -308,12 +323,17 @@ class Decoder:
         # downloading chunk i so compute/upload overlap the download (the
         # double-buffered host feeder of SURVEY.md §2.8).
         inflight = None  # (hops_device, valid)
+        tail_row = None  # [n, C] — the stream's overlap tail (last chunk)
 
-        def drain(handle):
-            nonlocal pending_frames
+        def drain(handle, last=False):
+            nonlocal pending_frames, tail_row
             hops_d, valid = handle
-            pending.append(np.asarray(hops_d)[:valid])
+            arr = np.asarray(hops_d)
+            pending.append(arr[:valid])
             pending_frames += valid
+            if last:
+                # append_carry put the tail at row `valid` — no 2nd transfer
+                tail_row = arr[valid]
 
         def flush_full_chunks():
             # Flush in exact 500-frame chunks, mirroring the per-frame
@@ -332,14 +352,12 @@ class Decoder:
 
         for start in range(0, F, chunk):
             valid = min(chunk, F - start)
-            words, raw_words, budget, rbudget = _packed_slices(
+            words, budget, rbudget = _packed_slices(
                 fs, start, valid, chunk, n, cfg.reference_compat
             )
 
             hops, carry = decode_chunk_packed_device(
                 jax.device_put(words),
-                jax.device_put(raw_words if raw_words is not None
-                               else _EMPTY_I32),
                 carry,
                 np.int32(valid),
                 tb.cos_table, tb.window, tb.norm,
@@ -349,20 +367,24 @@ class Decoder:
                 window_raw=window_raw,
                 use_pallas=cfg.use_pallas,
                 out_interleave=True,
+                append_carry=True,
             )
-            # device-side prefix slice: chunk padding never crosses the link
-            hops = _start_host_copy(take_prefix_device(hops, valid))
+            # device-side prefix slice: chunk padding never crosses the
+            # link; +1 row so the last chunk's download carries the tail
+            hops = _start_host_copy(take_prefix_device(hops, valid + 1))
             prev, inflight = inflight, (hops, valid)
             if prev is not None:
                 drain(prev)
                 flush_full_chunks()
 
         if inflight is not None:
-            drain(inflight)
+            drain(inflight, last=True)
             flush_full_chunks()
 
         # Final chunk: remaining frames + last overlap tail (codec.rs:722-732)
-        tail = np.asarray(carry).T.reshape(1, -1)  # [1, n*C] interleaved
+        if tail_row is None:  # F == 0: no chunks ran, the tail is silence
+            tail_row = np.zeros((n, C), np.float32)
+        tail = tail_row.reshape(1, -1)  # [1, n*C] interleaved
         if pending_frames:
             buf = np.concatenate(pending) if len(pending) > 1 else pending[0]
             flat = buf.reshape(-1)
@@ -396,7 +418,7 @@ class Decoder:
         F = fs.num_frames
         tb = self._tables
         chunk = chunk_size_for(max(F, 1), cfg.decode_chunk_frames)
-        carry = jax.device_put(np.zeros((C, n), np.float32))
+        carry = _zero_carry_device(C, n)
         window_raw = not cfg.reference_compat
 
         pre_len = (F + 1) * n * C
@@ -417,20 +439,21 @@ class Decoder:
             return flat
 
         def collect(handle):
-            hops_d, valid = handle
-            hops = np.asarray(hops_d)[:valid]          # [valid, n, C] i16
-            return trim(hops.reshape(-1))              # already interleaved
+            hops_d, valid, last = handle
+            # [valid(+1), n, C] i16, already interleaved; row `valid` of the
+            # last chunk is the overlap tail, converted on device with the
+            # exact hop epilogue (append_carry)
+            rows = valid + 1 if last else valid
+            return trim(np.asarray(hops_d)[:rows].reshape(-1))
 
         handles = []
         for start in range(0, F, chunk):
             valid = min(chunk, F - start)
-            words, raw_words, budget, rbudget = _packed_slices(
+            words, budget, rbudget = _packed_slices(
                 fs, start, valid, chunk, n, cfg.reference_compat
             )
             hops_d, carry = decode_chunk_packed_device(
                 jax.device_put(words),
-                jax.device_put(raw_words if raw_words is not None
-                               else _EMPTY_I32),
                 carry, np.int32(valid),
                 tb.cos_table, tb.window, tb.norm,
                 K=chunk, C=C, n=n,
@@ -439,9 +462,12 @@ class Decoder:
                 use_pallas=cfg.use_pallas,
                 out_i16=True,
                 out_interleave=True,
+                append_carry=True,
             )
+            last = start + chunk >= F
             handles.append(
-                (_start_host_copy(take_prefix_device(hops_d, valid)), valid)
+                (_start_host_copy(take_prefix_device(hops_d, valid + 1)),
+                 valid, last)
             )
             # bound in-flight device memory while keeping the pipeline deep
             if len(handles) > 8:
@@ -449,16 +475,14 @@ class Decoder:
                 if len(out):
                     yield out
 
-        from ..io.audio import convert_f32_to_i16
-
         for handle in handles:
             out = collect(handle)
             if len(out):
                 yield out
-        tail_f = np.asarray(carry).T.reshape(-1)       # [n*C] interleaved f32
-        tail = trim(convert_f32_to_i16(tail_f))
-        if len(tail):
-            yield tail
+        if F == 0:  # no chunks ran: the stream is just the silent tail
+            tail = trim(np.zeros(n * C, np.int16))
+            if len(tail):
+                yield tail
 
     def decoded_length(self, encoded: EncodedAudio) -> int:
         """Exact post-trim interleaved sample count of `decode`/`decode_i16`

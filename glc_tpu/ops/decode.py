@@ -131,11 +131,10 @@ def decode_chunk_device(
 
 @partial(jax.jit, static_argnames=("K", "C", "n", "budget", "rbudget",
                                    "max_q", "window_raw", "use_pallas",
-                                   "out_i16", "out_interleave"))
+                                   "out_i16", "out_interleave",
+                                   "append_carry"))
 def decode_chunk_packed_device(
-    words: jnp.ndarray,      # [budget + K*C//2 + K*C + K] int32 — see layout
-    raw_words: jnp.ndarray,  # [rbudget + rbudget*C*frame_size//2] int32, or
-                             #   a [0] placeholder when rbudget == 0
+    words: jnp.ndarray,      # [budget + K*C//2 + K*C + K (+ raw)] int32
     carry: jnp.ndarray,      # [C, n] f32
     num_valid: jnp.ndarray,  # scalar i32
     cos_table: jnp.ndarray,
@@ -152,12 +151,14 @@ def decode_chunk_packed_device(
     use_pallas: bool = False,
     out_i16: bool = False,
     out_interleave: bool = False,
+    append_carry: bool = False,
 ):
     """Transfer-minimal decode: the host uploads ONE packed int32 buffer per
-    chunk (plus one raw-frame buffer only when raw frames exist) and the
-    dense scatter happens in HBM.  The link here has high per-transfer
-    latency, so collapsing the former six uploads (pos/vals/scales/raw_rows/
-    raw_idx/is_raw) into one buys more than the bytes suggest.
+    chunk — raw frames included — and the dense scatter happens in HBM.
+    The link here has high per-transfer latency (~25-40 ms per transfer
+    regardless of size), so collapsing the former six uploads (pos/vals/
+    scales/raw_rows/raw_idx/is_raw) into one buys more than the bytes
+    suggest.
 
     `words` layout (all sections 4-byte aligned, sizes static):
       * [0 : budget)                 — kv words: (k << 16) | (q & 0xFFFF),
@@ -171,10 +172,9 @@ def decode_chunk_packed_device(
         u16 pairs (row-major).
       * [... : ... + K*C)            — bitcast f32 scales [K, C].
       * [... : ... + K)              — is_raw flags (0/1).
-
-    `raw_words` layout when rbudget > 0:
-      * [0 : rbudget)                — raw frame indices (fill = K, dropped)
-      * [rbudget : )                 — raw rows [rbudget, C, 2n] as packed
+      * when rbudget > 0, the raw section follows:
+        [... : ... + rbudget)        — raw frame indices (fill = K, dropped)
+        [... : end)                  — raw rows [rbudget, C, 2n] as packed
         i16 pairs.
 
     out_i16=True applies the exporters' f32→i16 conversion on device
@@ -189,11 +189,18 @@ def decode_chunk_packed_device(
     transpose of a downloaded [K, C, n] chunk costs tens of ms per 10 MB
     on the 1-core VM.  Values are identical — it is a pure layout change
     applied after all arithmetic.
+
+    append_carry=True returns hops with ONE extra row: the new carry (the
+    stream's overlap tail, codec.rs:722-732) written at row `num_valid`,
+    converted/laid out exactly like the hops.  The final chunk's download
+    then carries the tail for free instead of paying a second ~25 ms
+    transfer for 8 KB.  new_carry is still returned as f32 for chaining.
     """
     frame_size = 2 * n
     o0 = budget
     o1 = o0 + (K * C) // 2
     o2 = o1 + K * C
+    raw_words = words[o2 + K :]
     kv = words[:o0]
     nnz = jax.lax.bitcast_convert_type(
         words[o0:o1], jnp.uint16
@@ -242,6 +249,15 @@ def decode_chunk_packed_device(
         q, scales, raw, is_raw, carry, num_valid, cos_table, window, norm,
         max_q=max_q, window_raw=window_raw, use_pallas=use_pallas,
     )
+    if append_carry:
+        # row `num_valid` ← new_carry, BEFORE the i16/interleave epilogue so
+        # the tail goes through byte-identical conversion with the hops
+        hops = jnp.concatenate(
+            [hops, jnp.zeros((1, C, n), hops.dtype)], axis=0
+        )
+        hops = jax.lax.dynamic_update_slice(
+            hops, new_carry[None].astype(hops.dtype), (num_valid, 0, 0)
+        )
     if out_i16:
         # barriers pin both the f32 hops and the f32 product so XLA cannot
         # evaluate ×32767 in excess precision before trunc — keeps

@@ -34,12 +34,17 @@ def test_decode_stream_equals_batch(channels, duration):
 
 
 def test_decode_stream_small_chunks_and_raw_frames():
-    """Multiple decode chunks + raw-PCM fallback frames cross the stream."""
-    tone = generate_sine_wave(440.0, 44100, 1, 1.0)
-    noise = generate_white_noise(44100, 1, 1.0, 5)
+    """Multiple decode chunks + raw-PCM fallback frames cross the stream.
+
+    Needs > 128 frames (the chunk-size floor) to actually span chunks: the
+    overlap tail rides the last chunk's download now (append_carry), so a
+    single-chunk stream yields exactly one part."""
+    tone = generate_sine_wave(440.0, 44100, 1, 1.6)
+    noise = generate_white_noise(44100, 1, 1.6, 5)
     s = np.concatenate([tone, noise]).astype(np.float32)
     ea = Encoder(44100).encode(s, 1)
     assert int(ea.frame_set.raw_mask.sum()) > 0
+    assert ea.frame_set.num_frames > 128
     dec = Decoder(1, 44100, config=CodecConfig(decode_chunk_frames=128))
     batch = dec.decode_i16(ea)
     parts = list(dec.decode_i16_stream(ea))
