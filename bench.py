@@ -140,10 +140,17 @@ def main() -> None:
 
     runs = 5
 
-    # --- encode: adjacent up+down probes per run (the container's bytes
-    # ride the link back down before serialize can see them) ---
+    # --- timed runs, ROUND-ROBIN across the three pipelines: the relay's
+    # bandwidth phases last seconds-to-minutes, so running each metric's N
+    # repeats back-to-back lets one slow phase doom one metric while its
+    # neighbors look fine (observed: decode 877 ms median in a capture
+    # where the same code measures 294-430 ms standalone).  Interleaving
+    # spreads any phase across all metrics; the adjacent probes still
+    # attribute each run against its own link conditions. ---
     container_bytes = len(data)
     enc_times, enc_ceils = [], []
+    dec_times, dec_ceils = [], []
+    flac_times, flac_ceils = [], []
     for _ in range(runs):
         bw_u, bw_d = probe_up(), probe_down()
         t0 = time.perf_counter()
@@ -152,6 +159,25 @@ def main() -> None:
         enc_times.append(dt)
         floor_s = up_bytes / bw_u + container_bytes / bw_d
         enc_ceils.append(duration_s / floor_s)
+
+        bw_u, bw_d = probe_up(), probe_down()
+        t0 = time.perf_counter()
+        pcm = dec.decode_i16(encoded)
+        dt = time.perf_counter() - t0
+        dec_times.append(dt)
+        floor_s = words_bytes / bw_u + down_bytes / bw_d
+        dec_ceils.append(duration_s / floor_s)
+
+        bw_u, bw_d = probe_up(), probe_down()
+        t0 = time.perf_counter()
+        flac_bytes = encode_flac_i16_streaming(
+            dec.decode_i16_stream(encoded), sample_rate, 2, 5, n_total // 2
+        )
+        dt = time.perf_counter() - t0
+        flac_times.append(dt)
+        floor_s = words_bytes / bw_u + down_bytes / bw_d
+        flac_ceils.append(duration_s / floor_s)
+
     i = int(np.argmin(enc_times))
     best, med = enc_times[i], float(np.median(enc_times))
     ceil = enc_ceils[i]
@@ -178,16 +204,7 @@ def main() -> None:
     # stage attribution of one encode under best-effort conditions
     _encode_stage_attribution(enc, samples, duration_s)
 
-    # --- decode (decode_i16, the export path): up+down probes per run ---
-    dec_times, dec_ceils = [], []
-    for _ in range(runs):
-        bw_u, bw_d = probe_up(), probe_down()
-        t0 = time.perf_counter()
-        pcm = dec.decode_i16(encoded)
-        dt = time.perf_counter() - t0
-        dec_times.append(dt)
-        floor_s = words_bytes / bw_u + down_bytes / bw_d
-        dec_ceils.append(duration_s / floor_s)
+    # --- decode (decode_i16, the export path) ---
     i = int(np.argmin(dec_times))
     best_d, med_d = dec_times[i], float(np.median(dec_times))
     ceil_d = dec_ceils[i]
@@ -206,17 +223,6 @@ def main() -> None:
 
     # --- FLAC export (decode + FLAC encode level 5, the `glc -d` default:
     # streamed, so host FLAC math overlaps the decode's transfers) ---
-    flac_times, flac_ceils = [], []
-    for _ in range(runs):
-        bw_u, bw_d = probe_up(), probe_down()
-        t0 = time.perf_counter()
-        flac_bytes = encode_flac_i16_streaming(
-            dec.decode_i16_stream(encoded), sample_rate, 2, 5, n_total // 2
-        )
-        dt = time.perf_counter() - t0
-        flac_times.append(dt)
-        floor_s = words_bytes / bw_u + down_bytes / bw_d
-        flac_ceils.append(duration_s / floor_s)
     i = int(np.argmin(flac_times))
     best_f, med_f = flac_times[i], float(np.median(flac_times))
     ceil_f = flac_ceils[i]
