@@ -84,3 +84,50 @@ def test_python_decoder_truncated_stream_matches_native_error():
         err_p = str(e)
     assert err_n is not None and err_p is not None
     assert err_n.split()[-1] == err_p.split()[-1]  # same error code
+
+
+def test_differential_fuzz_python_vs_native():
+    """Differential fuzz: on mutated streams the two decoders must agree —
+    same samples on acceptance, same error code on rejection.  This is what
+    makes the Python fallback a true twin rather than a lookalike: hostile
+    inputs exercise paths (CRC failures, malformed subframes, truncation)
+    that well-formed encoder output never reaches."""
+    if get_native() is None:
+        pytest.skip("native library unavailable")
+    base = _encode(_i16(generate_sine_wave(330.0, 44100, 2, 0.25)), 44100, 2)
+    rng = np.random.default_rng(11)
+    agree_err = agree_ok = 0
+    for trial in range(80):
+        buf = bytearray(base)
+        kind = trial % 3
+        if kind == 0:    # byte flip anywhere
+            i = int(rng.integers(0, len(buf)))
+            buf[i] ^= int(rng.integers(1, 256))
+        elif kind == 1:  # truncation
+            buf = buf[: int(rng.integers(0, len(buf)))]
+        else:            # short random injection
+            i = int(rng.integers(0, len(buf) - 4))
+            buf[i : i + 4] = rng.integers(0, 256, 4, dtype=np.uint8).tobytes()
+        data = bytes(buf)
+        out_n = err_n = out_p = err_p = None
+        try:
+            out_n = decode_flac(data)
+        except ValueError as e:
+            err_n = str(e).split()[-1]
+        try:
+            out_p = decode_flac_python(data)
+        except ValueError as e:
+            err_p = str(e).split()[-1]
+        assert (err_n is None) == (err_p is None), (
+            f"trial {trial}: native={err_n} python={err_p}"
+        )
+        if err_n is not None:
+            assert err_n == err_p, f"trial {trial}: {err_n} != {err_p}"
+            agree_err += 1
+        else:
+            s_n, r_n, c_n, b_n = out_n
+            s_p, r_p, c_p, b_p = out_p
+            assert (r_n, c_n, b_n) == (r_p, c_p, b_p)
+            assert np.array_equal(s_n, s_p), f"trial {trial}"
+            agree_ok += 1
+    assert agree_err > 10  # most mutations must be rejected (CRC coverage)
