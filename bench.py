@@ -337,23 +337,14 @@ def _encode_stage_attribution(enc, samples, duration_s) -> None:
     import jax
 
     from glc_tpu import serialize_encoded
-    from glc_tpu.codec.encoder import frame_plan
-    from glc_tpu.codec.tables import len_bucket
+    from glc_tpu.codec.encoder import bucket_upload, upload_geometry
 
     cfg = enc.config
-    hop = cfg.hop_size
-    lead = hop // 2
     t0 = time.perf_counter()
-    T, F, _pad = frame_plan(len(samples), 2, cfg)
-    K = min(max(len_bucket(F), 16), cfg.encode_chunk_frames)
-    p_hops = (lead + T + hop - 1) // hop + 1
-    need = max(K + 1, p_hops)
-    Tb = max(T, min(len_bucket(T, 5), need * hop - lead))
-    if Tb * 2 == len(samples):
-        xup = samples
-    else:
-        xup = np.zeros(Tb * 2, np.int16)
-        xup[: len(samples)] = samples
+    # the encoder's own geometry helpers — the measured "upload" can never
+    # desynchronize from what encode_pcm16 actually uploads
+    _T, _F, _pad, _plan, _need, Tb = upload_geometry(len(samples), 2, cfg)
+    xup = bucket_upload(samples, len(samples), Tb, 2, np.int16)
     t_frame = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -383,8 +374,7 @@ def _encode_stage_attribution(enc, samples, duration_s) -> None:
 def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     import jax
 
-    from glc_tpu.codec.encoder import frame_signal
-    from glc_tpu.ops.encode import encode_signal_device
+    from glc_tpu.ops.encode import encode_interleaved_device
 
     fs = encoded.frame_set
     max_row_nnz = int(fs.nnz.max()) if fs.nnz.size else 0
@@ -399,23 +389,21 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     tb = enc._tables
     tables = (tb.cos_table, tb.window, tb.norm, tb.band_mask,
               tb.band_inv_count, tb.band_pf, tb.band_of, tb.inv_w)
-    padded, F, _, _ = frame_signal(samples, 2, enc.config, np.int16)
-    seg = np.zeros((2, 4097 * 1024), np.int16)
-    seg[:, : padded.shape[1]] = padded[:, : 4097 * 1024]
     budget = 4096 * 2 * 1024 // 8
     # Identical (program, args) dispatches get memoized somewhere in the
     # relay chain (measured: 0.04 ms "runs" of an 88 ms program), so
     # force real execution: distinct resident inputs, and a 1-element
-    # download per call that the whole chain must produce.
+    # download per call that the whole chain must produce.  This is the
+    # SHIPPING program (encode_interleaved_device, on-device planarize).
     variants = []
     for i in range(8):
-        s = seg.copy()
-        s[0, i] += 1
+        s = samples.copy()
+        s[i] = s[i] ^ 1
         variants.append(jax.device_put(s))
     jax.block_until_ready(variants)
-    run = lambda s: encode_signal_device(
-        s, np.int32(0), *tables, k_frames=4096, budget=budget,
-        pcm16=True)
+    run = lambda s: encode_interleaved_device(
+        s, np.int32(0), *tables, channels=2, lead=512,
+        k_frames=4096, budget=budget, pad_hops=4097, pcm16=True)
     np.asarray(run(variants[0])[:1])  # compile
     t0 = time.perf_counter()
     sums = [run(s)[:1] for s in variants]
@@ -447,13 +435,19 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     fs = encoded.frame_set
     F = fs.num_frames
     chunk = chunk_size_for(F, enc.config.decode_chunk_frames)
+    valid = min(F, chunk)
     words, budget2, rbudget = _packed_slices(
-        fs, 0, min(F, chunk), chunk, 1024, True
+        fs, 0, valid, chunk, 1024, True
     )
+    # perturb an is_raw PAD slot (frames beyond `valid` are discarded by
+    # the host) — in the single-buffer layout the buffer TAIL is the raw
+    # section whenever rbudget > 0, so index the flag section explicitly
+    assert valid < chunk, "need at least one pad flag slot to perturb"
+    flag0 = budget2 + (chunk * 2) // 2 + chunk * 2  # o1 + K*C (C=2)
     carries = []
     for i in range(8):
         w = words.copy()
-        w[-1 - i] ^= 1  # perturb an is_raw pad slot (unused) per variant
+        w[flag0 + valid + (i % (chunk - valid))] ^= 1
         carries.append(jax.device_put(w))
     jax.block_until_ready(carries)
     zero_carry = jax.device_put(np.zeros((2, 1024), np.float32))

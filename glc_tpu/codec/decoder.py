@@ -26,12 +26,10 @@ import numpy as np
 from ..config import CodecConfig, DEFAULT_CONFIG
 from ..container.schema import AudioChunk, EncodedAudio, FrameSet, Progress
 from ..ops.decode import decode_chunk_packed_device, take_prefix_device
-from .tables import chunk_size_for, get_device_tables, len_bucket, pow2_bucket
+from .tables import chunk_size_for, get_device_tables, len_bucket
 
 ProgressSender = Callable[[Progress], None]
 
-# placeholder for the raw-frame buffer when a chunk has no raw frames
-# (rbudget=0 compiles a no-raw program; the arg must still be an array)
 _zero_carry_cache: dict = {}
 
 
@@ -64,7 +62,6 @@ def _start_host_copy(arr):
     return arr
 
 
-_pow2_bucket = pow2_bucket
 _len_bucket = len_bucket
 
 

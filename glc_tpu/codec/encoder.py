@@ -43,7 +43,7 @@ from ..ops.encode import (
     encode_interleaved_device,
     gather_raw_interleaved_device,
 )
-from .tables import get_device_tables, len_bucket, pow2_bucket
+from .tables import get_device_tables, len_bucket
 
 
 def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig,
@@ -88,7 +88,6 @@ def frame_signal(samples: np.ndarray, channels: int, cfg: CodecConfig,
     return padded, num_frames, padding, T
 
 
-_pow2_bucket = pow2_bucket
 _len_bucket = len_bucket
 
 
@@ -123,6 +122,56 @@ def frame_plan(total_samples: int, channels: int, cfg: CodecConfig):
     F = 1 if P < frame else (P - frame) // hop + 1
     padding = P - T - lead
     return T, F, padding
+
+
+def upload_geometry(total_samples: int, channels: int, cfg: CodecConfig):
+    """The serial encoder's complete transfer geometry for one track:
+    (T, F, padding, plan, need_hops, Tb).
+
+    * plan — [(start_hop, k_frames)]: full segments of K = ladder(F) capped
+      at encode_chunk_frames, plus one ladder-bucketed tail segment for the
+      remainder; short files finish in a single dispatch + one adaptive
+      download, and the tail never re-encodes frames.
+    * need_hops — the device-side planar length (hops) every segment
+      program pads to (static pad_hops).
+    * Tb — the bucketed per-channel upload length: the user's interleaved
+      buffer is uploaded untouched when its length lands on the 5-bit
+      ladder, zero-completed into a Tb·channels copy otherwise (≤6.25%
+      overshoot; upload bytes ride the link, the binding resource).
+
+    Shared by `_dispatch_encode`, `encode_many`'s grouping, and bench's
+    stage attribution so the measured "upload" can never desynchronize
+    from what the encoder actually uploads.  Both bucketed lengths are
+    pure functions of the laddered geometry, so the compiled-program set
+    stays ≤16/octave.
+    """
+    hop = cfg.hop_size
+    lead = hop // 2
+    T, F, padding = frame_plan(total_samples, channels, cfg)
+    K = min(max(_len_bucket(F), 16), cfg.encode_chunk_frames)
+    plan = [(i * K, K) for i in range(F // K)]  # (start, k_frames)
+    rem = F - (F // K) * K  # F >= 1, so rem > 0 whenever plan is empty
+    if rem:
+        plan.append(((F // K) * K, min(_len_bucket(rem), K)))
+    last_start, last_k = plan[-1]
+    p_hops = (lead + T + hop - 1) // hop + 1   # hops covering lead+T+lead
+    need_hops = max(last_start + last_k + 1, p_hops)
+    Tb = max(T, min(_len_bucket(T, 5), need_hops * hop - lead))
+    return T, F, padding, plan, need_hops, Tb
+
+
+def bucket_upload(samples: np.ndarray, total_samples: int, Tb: int,
+                  channels: int, dtype) -> np.ndarray:
+    """The upload buffer for `encode_interleaved_device`: the caller's
+    array untouched when its length is already Tb·channels, else one
+    contiguous zero-completed memcpy (a host-side deinterleave would put a
+    1-core strided transpose on the critical path instead)."""
+    L = Tb * channels
+    if L == total_samples:
+        return samples
+    xup = np.zeros(L, dtype)
+    xup[:total_samples] = samples
+    return xup
 
 
 def zero_extend(padded: np.ndarray, need: int) -> np.ndarray:
@@ -190,8 +239,8 @@ class Encoder:
         to per-file `encode`/`encode_pcm16` calls.
 
         Tracks that land in the same (channels, dtype, frame-bucket) group
-        are encoded by ONE batched device program (`encode_signals_batch_
-        device`): one upload, one dispatch, one download for the whole
+        are encoded by ONE batched device program
+        (`encode_interleaved_batch_device`): one upload, one dispatch, one download for the whole
         group — on a link with high per-transfer latency this beats the
         reference's serial file loop (src/main.rs:545-583) by amortizing
         every fixed cost over the group.  Tracks that don't batch (odd
@@ -209,8 +258,6 @@ class Encoder:
 
     def _encode_many_impl(self, items) -> list:
         cfg = self.config
-        hop = cfg.hop_size
-        max_chunk = cfg.encode_chunk_frames
 
         prepped = []
         for samples, channels in items:
@@ -224,19 +271,19 @@ class Encoder:
                 samples = samples.astype(np.float32, copy=False)
             prepped.append((samples, int(channels), pcm16))
 
-        # Group batchable (single-segment) tracks by program signature.
-        lead = hop // 2
+        # Group batchable (single-segment) tracks by program signature,
+        # using the same upload_geometry as the serial path so batch
+        # membership can never disagree with what a solo encode would do.
         groups: dict = {}
         solos: list = []
         for i, (samples, C, pcm16) in enumerate(prepped):
             if len(samples) == 0:
                 raise ValueError("cannot encode empty input")
-            T, F, padding = frame_plan(len(samples), C, cfg)
-            K = min(max(_len_bucket(F), 16), max_chunk)
-            if F <= K:
-                p_hops = (lead + T + hop - 1) // hop + 1
-                need_hops = max(K + 1, p_hops)
-                Tb = max(T, min(_len_bucket(T, 5), need_hops * hop - lead))
+            T, F, padding, plan, need_hops, Tb = upload_geometry(
+                len(samples), C, cfg
+            )
+            if len(plan) == 1:
+                K = plan[0][1]
                 key = (C, pcm16, K, Tb, need_hops)
                 groups.setdefault(key, []).append(
                     (i, samples, F, padding)
@@ -277,7 +324,7 @@ class Encoder:
         batched upload + dispatch + adaptive download.  Fills results[i]
         for each (i, samples, F, padding) record.  Groups of one still go
         through the B=1 batch program: lax.map's body is bit-identical to
-        the single-track program (see encode_signals_batch_device), so
+        the single-track program (see encode_interleaved_batch_device), so
         group size never changes the bytes."""
         cfg = self.config
         hop, frame_size, n = cfg.hop_size, cfg.frame_size, cfg.n
@@ -396,7 +443,6 @@ class Encoder:
 
         dtype = np.int16 if pcm16 else np.float32
         lead = hop // 2
-        T, F, padding = frame_plan(total_samples, C, cfg)
         tb = self._tables
         params = dict(
             pcm16=pcm16,
@@ -408,50 +454,21 @@ class Encoder:
         # DeviceTables field order matches encode_interleaved_device's params
         tables = tuple(tb)
 
-        # Segment plan: full segments of K = ladder(F) capped at max_chunk,
-        # plus one ladder-bucketed tail segment for the remainder — short
-        # files finish in a single dispatch + a single adaptive download,
-        # and the tail never re-encodes frames.  Bucket-padding frames
-        # beyond F are discarded by the host ([:valid] everywhere); they are
-        # nearly free — all-zero blocks encode to nnz=0 — except frame F
-        # itself, which can see up to one hop of real end-of-file samples
-        # (frame_signal's trailing pad is only hop/2) and may contribute
-        # stream-tail pairs that the collect phase simply never reads.
-        #
-        # The signal is uploaded ONCE and stays resident in HBM; each
-        # segment program slices it with a dynamic start.  The link here
-        # has high per-transfer latency (measured: 3 segment uploads of the
-        # same total bytes cost 1.7× one upload, and each small download
-        # costs ~40 ms), so minimizing transfer COUNT is worth as much as
-        # minimizing bytes.  Frame buckets use the 4-bit-mantissa ladder
-        # (≤12.5% compute padding, ≤8 programs per octave).
-        max_chunk = cfg.encode_chunk_frames
-        K = min(max(_len_bucket(F), 16), max_chunk)
-        plan = [(i * K, K) for i in range(F // K)]  # (start, k_frames)
-        rem = F - (F // K) * K  # F >= 1, so rem > 0 whenever plan is empty
-        if rem:
-            plan.append(((F // K) * K, min(_len_bucket(rem), K)))
-
-        # The upload is the user's INTERLEAVED buffer, untouched when its
-        # per-channel length lands on the 5-bit ladder and zero-completed
-        # into a bucketed copy otherwise (one contiguous memcpy, ≤6.25%
-        # overshoot — upload bytes ride the link, the binding resource, and
-        # a host-side deinterleave would put a 1-core strided transpose on
-        # the critical path).  The deinterleave, the hop/2 lead, and the
-        # trailing zeros the segment plan needs all materialize ON DEVICE
-        # (_planarize_device + static pad_hops).  Both bucketed lengths are
-        # pure functions of the laddered T, so the compiled-program set
-        # stays ≤16/octave.
-        last_start, last_k = plan[-1]
-        p_hops = (lead + T + hop - 1) // hop + 1   # hops covering lead+T+lead
-        need_hops = max(last_start + last_k + 1, p_hops)
-        Tb = max(T, min(_len_bucket(T, 5), need_hops * hop - lead))
-        L = Tb * C
-        if L == total_samples:
-            xup = samples
-        else:
-            xup = np.zeros(L, dtype)
-            xup[:total_samples] = samples
+        # Transfer geometry (see upload_geometry): the signal is uploaded
+        # ONCE — the user's interleaved bytes, bucketed — and stays
+        # resident in HBM; each segment program slices it with a dynamic
+        # start; the deinterleave, hop/2 lead, and trailing zeros
+        # materialize ON DEVICE (_planarize_device + static pad_hops).
+        # Bucket-padding frames beyond F are discarded by the host
+        # ([:valid] everywhere); they are nearly free — all-zero blocks
+        # encode to nnz=0 — except frame F itself, which can see up to one
+        # hop of real end-of-file samples (frame_signal's trailing pad is
+        # only hop/2) and may contribute stream-tail pairs that the
+        # collect phase simply never reads.
+        T, F, padding, plan, need_hops, Tb = upload_geometry(
+            total_samples, C, cfg
+        )
+        xup = bucket_upload(samples, total_samples, Tb, C, dtype)
         xinter_dev = jax.device_put(xup)
         params["pad_hops"] = need_hops
         params["channels"] = C
@@ -558,7 +575,9 @@ class Encoder:
                 ridx = (start + np.flatnonzero(use_raw[:valid])).astype(
                     np.int32
                 )
-                rbudget = _pow2_bucket(len(ridx), k)
+                # raw rows are the widest download records — 4-bit ladder
+                # like every other transfer shape (≤12.5% overshoot)
+                rbudget = min(_len_bucket(len(ridx), 4), k)
                 idx_pad = np.zeros(rbudget, np.int32)
                 idx_pad[: len(ridx)] = ridx
                 rows = np.asarray(

@@ -222,76 +222,6 @@ def _zero_extend_device(xfull: jnp.ndarray, pad_hops: int, n: int) -> jnp.ndarra
     return xfull
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "k_frames", "budget", "pad_hops", "pcm16", "quality",
-        "noise_floor_db", "compression_threshold", "max_q",
-    ),
-)
-def encode_signal_device(
-    xfull: jnp.ndarray,        # [C, P] full padded signal, P multiple of n,
-                               # resident in HBM; f32, or i16 when pcm16=True
-    start: jnp.ndarray,        # scalar int32 — segment start, in hops
-    cos_table: jnp.ndarray,
-    window: jnp.ndarray,
-    norm: jnp.ndarray,
-    band_mask: jnp.ndarray,
-    band_inv_count: jnp.ndarray,
-    band_pf: jnp.ndarray,
-    band_of: jnp.ndarray,
-    inv_w: jnp.ndarray,
-    *,
-    k_frames: int,
-    budget: int,
-    pad_hops: int = 0,
-    pcm16: bool = False,
-    quality: float = 0.7,
-    noise_floor_db: float = -48.0,
-    compression_threshold: float = 0.85,
-    max_q: float = 32768.0,
-):
-    """Transfer-minimal encode: slice a K-frame segment out of the resident
-    signal (dynamic start — one compiled program serves every segment),
-    frame on device, compact the sparse result.
-
-    The host uploads the padded signal ONCE; each segment is a
-    `dynamic_slice` in HBM.  This matters because the host↔device link has
-    high per-transfer latency here (measured: 3 segment uploads of the same
-    total bytes cost 1.7× one upload), so the design minimizes transfer
-    COUNT as well as bytes: one upload per file, one adaptive download per
-    segment.  The caller guarantees start·n + (k_frames+1)·n ≤ P.
-
-    Returns ONE int32 array [K·(2C+1) + budget] with K = k_frames,
-    prefix-sliced by the host to what it actually needs:
-
-      * [0 : K·(2C+1)] — per-frame stats rows: [:, :C] nnz, [:, C:2C]
-        bitcast f32 scales, [:, 2C] use_raw flag.
-      * [K·(2C+1) :]  — packed pairs: (k << 16) | (q & 0xFFFF), the kept
-        (index, value) pairs in frame-major, channel-major, ascending-k
-        order (the .glc stream order, codec.rs:462-541); only the first
-        sum(nnz) entries are meaningful.
-
-    Frames that chose the raw-PCM fallback contribute no pairs (their nnz
-    is reported as 0).  If sum(nnz) > budget the caller must fall back to
-    `encode_signal_dense_device`.
-
-    pcm16=True takes int16 input and converts with /2^15 on device — exact
-    for 16-bit sources (the loaders divide by 2^(bits−1), audio.rs:55,72),
-    halving upload volume.
-
-    pad_hops > 0 zero-extends the resident signal to pad_hops·n samples on
-    device before slicing, so the host only uploads real bytes.
-    """
-    return _encode_signal_body(
-        xfull, start, cos_table, window, norm, band_mask, band_inv_count,
-        band_pf, band_of, inv_w,
-        k_frames=k_frames, budget=budget, pad_hops=pad_hops, pcm16=pcm16,
-        quality=quality, noise_floor_db=noise_floor_db,
-        compression_threshold=compression_threshold, max_q=max_q,
-    )
-
-
 def _encode_signal_body(
     xfull, start, cos_table, window, norm, band_mask, band_inv_count,
     band_pf, band_of, inv_w, *, k_frames, budget, pad_hops, pcm16,
@@ -331,138 +261,6 @@ def _encode_signal_body(
 @partial(
     jax.jit,
     static_argnames=(
-        "k_frames", "budget", "pad_hops", "pcm16", "quality",
-        "noise_floor_db", "compression_threshold", "max_q",
-    ),
-)
-def encode_signals_batch_device(
-    xbatch: jnp.ndarray,       # [B, C, P] resident batch of padded signals
-    starts: jnp.ndarray,       # [B] int32 segment starts, in hops
-    cos_table: jnp.ndarray,
-    window: jnp.ndarray,
-    norm: jnp.ndarray,
-    band_mask: jnp.ndarray,
-    band_inv_count: jnp.ndarray,
-    band_pf: jnp.ndarray,
-    band_of: jnp.ndarray,
-    inv_w: jnp.ndarray,
-    *,
-    k_frames: int,
-    budget: int,
-    pad_hops: int = 0,
-    pcm16: bool = False,
-    quality: float = 0.7,
-    noise_floor_db: float = -48.0,
-    compression_threshold: float = 0.85,
-    max_q: float = 32768.0,
-):
-    """Batched multi-track encode: `encode_signal_device`'s body mapped over
-    a leading track axis — the TPU-native album path.  B same-bucket tracks
-    cost ONE upload, ONE program dispatch, and ONE [B, K·(2C+1)+budget]
-    download instead of B of each; on a link with high per-transfer latency
-    this is where multi-file throughput comes from (the reference encodes
-    files serially, src/main.rs:545-583).
-
-    `lax.map`, not `vmap`: the batch axis must not change the per-track
-    math.  A vmapped einsum retiles the MDCT matmul and shifts results by
-    ±1 ulp vs the single-track program (measured on a v5e), which moves
-    quantizer keep-gate decisions and breaks the bit-identical-to-`encode`
-    contract; lax.map runs the identical per-track computation in a device
-    loop — measured bit-identical — and the per-track compute is small
-    enough that serializing it on device costs nothing next to the link."""
-    body = partial(
-        _encode_signal_body,
-        cos_table=cos_table, window=window, norm=norm, band_mask=band_mask,
-        band_inv_count=band_inv_count, band_pf=band_pf, band_of=band_of,
-        inv_w=inv_w,
-        k_frames=k_frames, budget=budget, pad_hops=pad_hops, pcm16=pcm16,
-        quality=quality, noise_floor_db=noise_floor_db,
-        compression_threshold=compression_threshold, max_q=max_q,
-    )
-    return jax.lax.map(lambda t: body(t[0], t[1]), (xbatch, starts))
-
-
-@partial(
-    jax.jit,
-    static_argnames=(
-        "k_frames", "pad_hops", "pcm16", "quality", "noise_floor_db",
-        "compression_threshold", "max_q",
-    ),
-)
-def encode_signal_dense_device(
-    xfull: jnp.ndarray,
-    start: jnp.ndarray,        # scalar int32 — segment start, in hops
-    cos_table: jnp.ndarray,
-    window: jnp.ndarray,
-    norm: jnp.ndarray,
-    band_mask: jnp.ndarray,
-    band_inv_count: jnp.ndarray,
-    band_pf: jnp.ndarray,
-    band_of: jnp.ndarray,
-    inv_w: jnp.ndarray,
-    *,
-    k_frames: int,
-    pad_hops: int = 0,
-    pcm16: bool = False,
-    quality: float = 0.7,
-    noise_floor_db: float = -48.0,
-    compression_threshold: float = 0.85,
-    max_q: float = 32768.0,
-):
-    """Dense-transfer fallback for chunks whose kept-coefficient count
-    exceeds the compaction budget (atypically dense but still compressed
-    content).  Slices the same resident signal as `encode_signal_device`.
-    Returns (q, nnz, scale, use_raw)."""
-    n = cos_table.shape[0]
-    xfull = _zero_extend_device(xfull, pad_hops, n)
-    xpad = jax.lax.dynamic_slice_in_dim(
-        xfull, start * n, (k_frames + 1) * n, axis=1
-    )
-    if pcm16:
-        xpad = xpad.astype(jnp.float32) / np.float32(32768.0)
-    blocks = frames_from_signal(xpad, n)
-    q, nnz, scale, _raw, use_raw = encode_math(
-        blocks, cos_table, window, norm, band_mask, band_inv_count,
-        band_pf, band_of, inv_w,
-        quality=quality, noise_floor_db=noise_floor_db,
-        compression_threshold=compression_threshold, max_q=max_q,
-    )
-    q = jnp.where(use_raw[:, None, None], jnp.int16(0), q)
-    nnz = jnp.where(use_raw[:, None], 0, nnz)
-    return q, nnz, scale, use_raw
-
-
-@partial(jax.jit, static_argnames=("pad_hops", "pcm16"))
-def gather_raw_device(
-    xpad: jnp.ndarray,    # [C, P] f32 (or i16 when pcm16=True)
-    idx: jnp.ndarray,     # [R] int32 frame indices (host-padded, in range)
-    window: jnp.ndarray,
-    *,
-    pad_hops: int = 0,
-    pcm16: bool = False,
-):
-    """Windowed raw-PCM rows for the frames that chose the fallback
-    (codec.rs:496-502): ×32767, clamp, truncate toward zero.  Only the
-    selected frames cross the link.  Returns int16 [R, C, 2n]."""
-    n = window.shape[0] // 2
-    xpad = _zero_extend_device(xpad, pad_hops, n)
-    if pcm16:
-        xpad = xpad.astype(jnp.float32) / np.float32(32768.0)
-    C, P = xpad.shape
-    r = xpad.reshape(C, P // n, n)
-    a = jnp.take(r, idx, axis=1, mode="clip")          # [C, R, n]
-    b = jnp.take(r, idx + 1, axis=1, mode="clip")
-    blocks = jnp.concatenate([a, b], axis=-1).transpose(1, 0, 2)
-    win = blocks * window
-    return jnp.trunc(
-        jnp.clip(win * np.float32(32767.0), np.float32(-32768.0),
-                 np.float32(32767.0))
-    ).astype(jnp.int16)
-
-
-@partial(
-    jax.jit,
-    static_argnames=(
         "channels", "lead", "k_frames", "budget", "pad_hops", "pcm16",
         "quality", "noise_floor_db", "compression_threshold", "max_q",
     ),
@@ -491,10 +289,35 @@ def encode_interleaved_device(
     compression_threshold: float = 0.85,
     max_q: float = 32768.0,
 ):
-    """`encode_signal_device` taking the raw INTERLEAVED buffer: the
+    """Transfer-minimal encode over the raw INTERLEAVED buffer: the
     deinterleave + lead/tail padding of frame_signal happen on device
-    (reference src/codec.rs:427-455), so the host uploads the user's PCM
-    bytes untouched.  Output layout identical to encode_signal_device."""
+    (_planarize_device; reference src/codec.rs:427-455), so the host
+    uploads the user's PCM bytes untouched, ONCE per file — each segment is
+    a `dynamic_slice` of the resident signal (one compiled program serves
+    every segment).  This matters because the host↔device link has high
+    per-transfer latency (measured: 3 segment uploads of the same total
+    bytes cost 1.7× one upload): one upload per file, one adaptive
+    download per segment.  The caller guarantees lead + L/channels ≤
+    pad_hops·n and start·n + (k_frames+1)·n ≤ pad_hops·n.
+
+    Returns ONE int32 array [K·(2C+1) + budget] with K = k_frames,
+    prefix-sliced by the host to what it actually needs:
+
+      * [0 : K·(2C+1)] — per-frame stats rows: [:, :C] nnz, [:, C:2C]
+        bitcast f32 scales, [:, 2C] use_raw flag.
+      * [K·(2C+1) :]  — packed pairs: (k << 16) | (q & 0xFFFF), the kept
+        (index, value) pairs in frame-major, channel-major, ascending-k
+        order (the .glc stream order, codec.rs:462-541); only the first
+        sum(nnz) entries are meaningful.
+
+    Frames that chose the raw-PCM fallback contribute no pairs (their nnz
+    is reported as 0).  If sum(nnz) > budget the caller must fall back to
+    `encode_interleaved_dense_device`.
+
+    pcm16=True takes int16 input and converts with /2^15 on device — exact
+    for 16-bit sources (the loaders divide by 2^(bits−1), audio.rs:55,72),
+    halving upload volume.
+    """
     n = cos_table.shape[0]
     xfull = _planarize_device(xinter, channels, lead, n, pad_hops)
     return _encode_signal_body(
@@ -536,9 +359,19 @@ def encode_interleaved_batch_device(
     compression_threshold: float = 0.85,
     max_q: float = 32768.0,
 ):
-    """Batched album path over interleaved tracks — see
-    encode_signals_batch_device for why lax.map (bit-identity with the
-    single-track program) and not vmap."""
+    """Batched multi-track encode — the TPU-native album path.  B
+    same-bucket tracks cost ONE upload, ONE program dispatch, and ONE
+    [B, K·(2C+1)+budget] download instead of B of each; on a link with
+    high per-transfer latency this is where multi-file throughput comes
+    from (the reference encodes files serially, src/main.rs:545-583).
+
+    `lax.map`, not `vmap`: the batch axis must not change the per-track
+    math.  A vmapped einsum retiles the MDCT matmul and shifts results by
+    ±1 ulp vs the single-track program (measured on a v5e), which moves
+    quantizer keep-gate decisions and breaks the bit-identical-to-`encode`
+    contract; lax.map runs the identical per-track computation in a device
+    loop — measured bit-identical — and the per-track compute is small
+    enough that serializing it on device costs nothing next to the link."""
     n = cos_table.shape[0]
 
     def body(t):
@@ -584,8 +417,10 @@ def encode_interleaved_dense_device(
     compression_threshold: float = 0.85,
     max_q: float = 32768.0,
 ):
-    """Dense-transfer fallback of the interleaved path — see
-    encode_signal_dense_device.  Returns (q, nnz, scale, use_raw)."""
+    """Dense-transfer fallback for segments whose kept-coefficient count
+    exceeds the compaction budget (atypically dense but still compressed
+    content).  Slices the same resident interleaved signal as
+    encode_interleaved_device.  Returns (q, nnz, scale, use_raw)."""
     n = cos_table.shape[0]
     xfull = _planarize_device(xinter, channels, lead, n, pad_hops)
     if pcm16:

@@ -137,7 +137,7 @@ def test_compaction_matches_reference_order():
 
 def test_encode_many_batched_group_matches_serial():
     """Same-bucket tracks go through ONE batched device program
-    (encode_signals_batch_device); containers must be bit-identical to
+    (encode_interleaved_batch_device); containers must be bit-identical to
     per-file encodes — including a white-noise track that exercises the
     raw-PCM fallback inside the batch."""
     from utils import generate_sine_wave, generate_white_noise
