@@ -138,7 +138,7 @@ def main() -> None:
         np.asarray(src)
         return up_bytes / (time.perf_counter() - t0)
 
-    runs = 5
+    runs = 7
 
     # --- timed runs, ROUND-ROBIN across the three pipelines: the relay's
     # bandwidth phases last seconds-to-minutes, so running each metric's N
@@ -275,6 +275,14 @@ def main() -> None:
         long_pcm = np.clip(
             make_signal(long_s, sample_rate) * 32767.0, -32768, 32767
         ).astype(np.int16)
+        # Measured (STATUS round-3 notes): a long jax session intermittently
+        # degrades the relay's big-transfer rate 2-5× (106 MB device_put
+        # 53 → 5.5 MB/s in one trial) with our live-array count flat at 9 —
+        # state jax.clear_caches() released restored full rate in the same
+        # trial.  Clear here so this diagnostic reflects a fresh session,
+        # as standalone long-file use would see; the rewarm cost lands in
+        # `first` (the persistent compile cache keeps it small).
+        jax.clear_caches()
         t0 = time.perf_counter()
         enc.encode_pcm16(long_pcm, 2)
         warm = time.perf_counter() - t0

@@ -31,10 +31,9 @@ def decode_playlist(
     """
     if not paths:
         raise ValueError("empty playlist")
-    parts: List[np.ndarray] = []
+    encodeds = []
     rate = channels = None
-    for i, path in enumerate(paths):
-        path = Path(path)
+    for path in map(Path, paths):
         if progress:
             progress(Progress.status(f"Decoding {path.name}"))
         encoded = load_encoded(path)
@@ -46,10 +45,12 @@ def decode_playlist(
                 f"{path.name}: {h.sample_rate} Hz/{h.channels}ch does not "
                 f"match playlist {rate} Hz/{channels}ch"
             )
-        dec = Decoder(channels, rate)
-        parts.append(dec.decode_i16(encoded))
-        if progress:
-            progress(Progress.decoding((i + 1) / len(paths) * 100.0))
+        encodeds.append(encoded)
+    # same-bucket tracks decode through ONE batched device program
+    # (Decoder.decode_many); the rest fall back to per-file decode_i16
+    parts = Decoder(channels, rate).decode_many(encodeds)
+    if progress:
+        progress(Progress.decoding(100.0))
     return np.concatenate(parts), rate, channels
 
 

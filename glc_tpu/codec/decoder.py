@@ -508,6 +508,76 @@ class Decoder:
             return np.empty(0, np.int16)
         return np.concatenate(parts)
 
+    def decode_many(self, encoded_list) -> list:
+        """Multi-track decode to int16 — the decode-side analog of
+        `Encoder.encode_many` (no reference analog; the GUI album export
+        decodes files serially, reference src/ui.rs:317-359).
+
+        Tracks whose packed upload lands in the same (chunk, budget,
+        rbudget) buckets — the transfer-shape ladder makes same-material
+        tracks coincide — are decoded by ONE batched device program: one
+        upload, one dispatch, one download for the whole group.  Everything
+        else (multi-chunk tracks, odd buckets) falls back to `decode_i16`.
+        Per-track output equals `decode_i16` within 1 LSB (the batched
+        program is the same traced body under lax.map; XLA may fuse the
+        IMDCT chain differently).
+        """
+        cfg = self.config
+        n = cfg.n
+        tb = self._tables
+        results: list = [None] * len(encoded_list)
+
+        groups: dict = {}
+        for i, ea in enumerate(encoded_list):
+            C = ea.header.channels
+            F = ea.frame_set.num_frames
+            chunk = chunk_size_for(max(F, 1), cfg.decode_chunk_frames)
+            if F == 0 or F > chunk:
+                results[i] = self.decode_i16(ea)
+                continue
+            words, budget, rbudget = _packed_slices(
+                ea.frame_set, 0, F, chunk, n, cfg.reference_compat
+            )
+            key = (C, chunk, budget, rbudget)
+            groups.setdefault(key, []).append((i, ea, F, words))
+
+        from ..ops.decode import decode_chunks_packed_batch_device
+
+        window_raw = not cfg.reference_compat
+        handles = []
+        for (C, chunk, budget, rbudget), recs in groups.items():
+            if len(recs) == 1:
+                i, ea, F, words = recs[0]
+                results[i] = self.decode_i16(ea)
+                continue
+            words_b = np.stack([w for _i, _ea, _F, w in recs])
+            valid_b = np.asarray([F for _i, _ea, F, _w in recs], np.int32)
+            hops_d = decode_chunks_packed_batch_device(
+                jax.device_put(words_b), jax.device_put(valid_b),
+                tb.cos_table, tb.window, tb.norm,
+                K=chunk, C=C, n=n, budget=budget, rbudget=rbudget,
+                max_q=cfg.max_q, window_raw=window_raw,
+                use_pallas=cfg.use_pallas,
+                out_i16=True, out_interleave=True, append_carry=True,
+            )
+            # device-side prefix over the hop axis (128-frame granularity,
+            # like take_prefix_device) so batch padding beyond the longest
+            # track never crosses the link
+            rows = min(-(-(int(valid_b.max()) + 1) // 128) * 128, chunk + 1)
+            handles.append((recs, _start_host_copy(hops_d[:, :rows])))
+
+        for recs, pref in handles:
+            arr = np.asarray(pref)
+            C = recs[0][1].header.channels
+            for b, (i, ea, F, _w) in enumerate(recs):
+                flat = arr[b, : F + 1].reshape(-1)  # F hops + tail row
+                pre_len = (F + 1) * n * C
+                skip, limit = gapless_trim_bounds(
+                    pre_len, ea.gapless_info, C, cfg.reference_compat
+                )
+                results[i] = flat[skip:limit]
+        return results
+
     # --- synchronous decode + gapless trim (codec.rs:744-768) ---
 
     def decode(

@@ -196,6 +196,20 @@ def decode_chunk_packed_device(
     then carries the tail for free instead of paying a second ~25 ms
     transfer for 8 KB.  new_carry is still returned as f32 for chaining.
     """
+    return _decode_packed_body(
+        words, carry, num_valid, cos_table, window, norm,
+        K=K, C=C, n=n, budget=budget, rbudget=rbudget, max_q=max_q,
+        window_raw=window_raw, use_pallas=use_pallas, out_i16=out_i16,
+        out_interleave=out_interleave, append_carry=append_carry,
+    )
+
+
+def _decode_packed_body(
+    words, carry, num_valid, cos_table, window, norm, *,
+    K, C, n, budget, rbudget, max_q, window_raw, use_pallas,
+    out_i16, out_interleave, append_carry,
+):
+    """Traced body shared by the single-chunk and batched packed decodes."""
     frame_size = 2 * n
     o0 = budget
     o1 = o0 + (K * C) // 2
@@ -270,3 +284,56 @@ def decode_chunk_packed_device(
     if out_interleave:
         hops = hops.transpose(0, 2, 1)   # [K, n, C] — interleaved order
     return hops, new_carry
+
+
+@partial(jax.jit, static_argnames=("K", "C", "n", "budget", "rbudget",
+                                   "max_q", "window_raw", "use_pallas",
+                                   "out_i16", "out_interleave",
+                                   "append_carry"))
+def decode_chunks_packed_batch_device(
+    words_b: jnp.ndarray,     # [B, W] — B single-chunk tracks, same buckets
+    num_valid: jnp.ndarray,   # [B] int32
+    cos_table: jnp.ndarray,
+    window: jnp.ndarray,
+    norm: jnp.ndarray,
+    *,
+    K: int,
+    C: int,
+    n: int,
+    budget: int,
+    rbudget: int,
+    max_q: float = 32768.0,
+    window_raw: bool = False,
+    use_pallas: bool = False,
+    out_i16: bool = False,
+    out_interleave: bool = False,
+    append_carry: bool = False,
+):
+    """Batched multi-track packed decode — the decode-side album analog of
+    encode_interleaved_batch_device: B same-bucket single-chunk tracks cost
+    ONE upload, ONE dispatch, and ONE download instead of B of each (the
+    per-transfer latency here is ~25-40 ms regardless of size).
+
+    Every track decodes from a zero carry (they are single-chunk by
+    construction).  `lax.map`, not `vmap`, for the same reason as the
+    encode batch: the batch axis must not change the per-track math, so
+    each track runs the identical traced body in a device loop and the
+    result matches the single-track program.
+
+    Returns hops [B, K(+1), ...] — layout per the flags, as in
+    decode_chunk_packed_device (the per-track new_carry is dropped:
+    append_carry delivers each track's tail as its extra hop row).
+    """
+    zero_carry = jnp.zeros((C, n), jnp.float32)
+
+    def body(t):
+        words, valid = t
+        hops, _carry = _decode_packed_body(
+            words, zero_carry, valid, cos_table, window, norm,
+            K=K, C=C, n=n, budget=budget, rbudget=rbudget, max_q=max_q,
+            window_raw=window_raw, use_pallas=use_pallas, out_i16=out_i16,
+            out_interleave=out_interleave, append_carry=append_carry,
+        )
+        return hops
+
+    return jax.lax.map(body, (words_b, num_valid))
