@@ -104,7 +104,9 @@ def main() -> None:
     pcm = dec.decode_i16(encoded)
     n_total = dec.decoded_length(encoded)
     encode_flac_i16_streaming(
-        dec.decode_i16_stream(encoded), sample_rate, 2, 5, n_total // 2
+        dec.decode_i16_stream(
+            encoded, chunk_frames=dec.config.stream_chunk_frames),
+        sample_rate, 2, 5, n_total // 2
     )
 
     up_bytes = samples.nbytes            # irreducible encode upload
@@ -171,7 +173,9 @@ def main() -> None:
         bw_u, bw_d = probe_up(), probe_down()
         t0 = time.perf_counter()
         flac_bytes = encode_flac_i16_streaming(
-            dec.decode_i16_stream(encoded), sample_rate, 2, 5, n_total // 2
+            dec.decode_i16_stream(
+            encoded, chunk_frames=dec.config.stream_chunk_frames),
+        sample_rate, 2, 5, n_total // 2
         )
         dt = time.perf_counter() - t0
         flac_times.append(dt)

@@ -92,7 +92,8 @@ def export_playlist_to_flac(
         for i, (path, ea) in enumerate(encodeds):
             if progress:
                 progress(Progress.status(f"Decoding {path.name}"))
-            yield from dec.decode_i16_stream(ea)
+            yield from dec.decode_i16_stream(
+                ea, chunk_frames=dec.config.stream_chunk_frames)
             if progress:
                 progress(Progress.decoding((i + 1) / len(encodeds) * 100.0))
 

@@ -106,7 +106,9 @@ def decode_file(input_path: Path, output_format: str, flac_level: int) -> None:
         channels = encoded.header.channels
         n_total = decoder.decoded_length(encoded)
         data = encode_flac_i16_streaming(
-            decoder.decode_i16_stream(encoded),
+            decoder.decode_i16_stream(
+                encoded,
+                chunk_frames=decoder.config.stream_chunk_frames),
             encoded.header.sample_rate, channels, flac_level,
             n_total // channels,
         )

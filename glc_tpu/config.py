@@ -43,6 +43,10 @@ class CodecConfig:
     # Device batching: frames per jitted chunk (static shape → one compile).
     encode_chunk_frames: int = 4096
     decode_chunk_frames: int = 4096
+    # Smaller chunks for streaming consumers that do host work per chunk
+    # (FLAC export): their math overlaps the next chunk's transfers, ~20%
+    # faster end-to-end (measured on a v5e relay); bytes identical.
+    stream_chunk_frames: int = 1024
 
     # Fused Pallas IMDCT+window kernel on the decode path (measured −27% on
     # the transform on a v5e, ops/pallas_kernels.py).  Off by default: its

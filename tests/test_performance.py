@@ -120,7 +120,7 @@ def test_encode_many_pipelining():
     for s, c in tracks:
         enc.encode(s, c)
     dt_serial = time.perf_counter() - t0
-    print(f"encode_many 4x1s stereo: pipelined {dt_many*1000:.1f} ms vs "
+    print(f"encode_many 4x1s stereo: batched {dt_many*1000:.1f} ms vs "
           f"serial {dt_serial*1000:.1f} ms ({dt_serial/dt_many:.2f}x)")
 
 

@@ -130,3 +130,21 @@ def test_album_export_streaming_byte_identity(tmp_path):
     )
     ref = encode_flac_i16_with_level(full, 44100, 1, 5)
     assert out.read_bytes() == ref
+
+
+def test_stream_chunk_override_byte_identical():
+    """The stream_chunk_frames override changes transfer scheduling only:
+    FLAC bytes are identical for any decode chunk size (the overlap win is
+    pure pipelining)."""
+    s = generate_sine_wave(440.0, 44100, 2, 2.2)
+    ea = Encoder(44100).encode(s, 2)
+    dec = Decoder(2, 44100)
+    n_total = dec.decoded_length(ea)
+    outs = [
+        encode_flac_i16_streaming(
+            dec.decode_i16_stream(ea, chunk_frames=kf), 44100, 2, 5,
+            n_total // 2,
+        )
+        for kf in (None, 1024, 256, 128)
+    ]
+    assert all(o == outs[0] for o in outs[1:])
