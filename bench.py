@@ -119,7 +119,6 @@ def main() -> None:
     # 0.08 s), so each probe perturbs a fresh buffer / forces a fresh
     # device computation.
     probe_buf = samples.copy()
-    import jax.numpy as _jnp
 
     _bump = jax.jit(lambda x, i: x + i)
     probe_dev = jax.device_put(samples)

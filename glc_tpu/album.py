@@ -9,7 +9,7 @@ track boundaries — the gapless contract (reference tests/test_codec.rs:139-170
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, List, Optional, Sequence, Union
+from typing import Callable, Optional, Sequence, Union
 
 import numpy as np
 
