@@ -34,8 +34,6 @@ def decode_playlist(
     encodeds = []
     rate = channels = None
     for path in map(Path, paths):
-        if progress:
-            progress(Progress.status(f"Decoding {path.name}"))
         encoded = load_encoded(path)
         h = encoded.header
         if rate is None:
@@ -45,12 +43,20 @@ def decode_playlist(
                 f"{path.name}: {h.sample_rate} Hz/{h.channels}ch does not "
                 f"match playlist {rate} Hz/{channels}ch"
             )
-        encodeds.append(encoded)
-    # same-bucket tracks decode through ONE batched device program
-    # (Decoder.decode_many); the rest fall back to per-file decode_i16
-    parts = Decoder(channels, rate).decode_many(encodeds)
-    if progress:
-        progress(Progress.decoding(100.0))
+        encodeds.append((Path(path), encoded))
+
+    dec = Decoder(channels, rate)
+    if progress is None:
+        # same-bucket tracks decode through ONE batched device program
+        parts = dec.decode_many([ea for _p, ea in encodeds])
+    else:
+        # an interactive consumer wants per-track movement — keep the
+        # serial path so status/percent advance as each track decodes
+        parts = []
+        for i, (path, ea) in enumerate(encodeds):
+            progress(Progress.status(f"Decoding {path.name}"))
+            parts.append(dec.decode_i16(ea))
+            progress(Progress.decoding((i + 1) / len(encodeds) * 100.0))
     return np.concatenate(parts), rate, channels
 
 

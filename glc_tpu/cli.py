@@ -56,9 +56,10 @@ def print_usage() -> None:
 
 
 def encode_file(input_path: Path) -> None:
-    """main.rs:20-52"""
+    """main.rs:20-52 — the per-file encode API (load → encode → save, with
+    the reference's printed lines).  The CLI's multi-file path batches
+    through _encode_jobs instead; both share _save_and_report."""
     from .codec.encoder import Encoder
-    from .container.bincode import save_encoded
     from .io.audio import load_audio_for_encode
 
     print(f"Loading: {input_path.name!r}")
@@ -74,15 +75,7 @@ def encode_file(input_path: Path) -> None:
         encoded = encoder.encode_pcm16(samples, channels)
     else:
         encoded = encoder.encode(samples, channels)
-
-    output_path = input_path.with_suffix(".glc")
-    save_encoded(encoded, output_path)
-
-    input_size = input_path.stat().st_size
-    output_size = output_path.stat().st_size
-    ratio = output_size / input_size * 100.0
-    print(f"Saved: {output_path.name!r} ({output_size} bytes, "
-          f"{ratio:.1f}% of original)")
+    _save_and_report(input_path, encoded)
 
 
 def decode_file(input_path: Path, output_format: str, flac_level: int) -> None:
@@ -233,21 +226,85 @@ def _main_play(args: List[str]) -> int:
     return 0
 
 
+# Flush the pending encode batch whenever this much decoded PCM is resident:
+# batching wants groups together, but a 100-track album must not hold every
+# track's samples in host RAM at once (the old serial loop was O(1) memory).
+_ENCODE_BATCH_BYTES = 512 << 20
+
+
+def _save_and_report(input_path: Path, encoded) -> None:
+    """The save + 'Saved:' line of encode_file (main.rs:38-51)."""
+    from .container.bincode import save_encoded
+
+    output_path = input_path.with_suffix(".glc")
+    save_encoded(encoded, output_path)
+    input_size = input_path.stat().st_size
+    output_size = output_path.stat().st_size
+    ratio = output_size / input_size * 100.0
+    print(f"Saved: {output_path.name!r} ({output_size} bytes, "
+          f"{ratio:.1f}% of original)")
+
+
+def _encode_jobs(jobs) -> bool:
+    """Encode+save a list of loaded (path, samples, rate, channels) jobs,
+    batching same-rate tracks through encode_many; returns True if any
+    failed.  A batch failure is reported and falls back to per-file encodes
+    so error isolation matches the reference's serial loop."""
+    import numpy as np
+
+    from .codec.encoder import Encoder
+
+    has_errors = False
+    by_rate: dict = {}
+    for j, (_path, _samples, rate, _ch) in enumerate(jobs):
+        by_rate.setdefault(rate, []).append(j)
+    encoded_all = [None] * len(jobs)
+    for rate, idxs in by_rate.items():
+        enc = Encoder(rate)
+        try:
+            outs = enc.encode_many(
+                [(jobs[j][1], jobs[j][3]) for j in idxs]
+            )
+            for j, ea in zip(idxs, outs):
+                encoded_all[j] = ea
+        except Exception as e:
+            # surface the batch failure, then preserve the reference's
+            # per-file error isolation with serial encodes
+            print(f"Warning: batched encode failed ({e}); "
+                  f"retrying files serially", file=sys.stderr)
+            for j in idxs:
+                _path, samples, _rate, ch = jobs[j]
+                try:
+                    if samples.dtype == np.int16:
+                        encoded_all[j] = enc.encode_pcm16(samples, ch)
+                    else:
+                        encoded_all[j] = enc.encode(samples, ch)
+                except Exception as e2:
+                    print(f"Error encoding file: {e2}", file=sys.stderr)
+                    has_errors = True
+
+    for j, (path, _samples, _rate, _ch) in enumerate(jobs):
+        if encoded_all[j] is None:
+            continue
+        try:
+            _save_and_report(path, encoded_all[j])
+        except Exception as e:
+            print(f"Error encoding file: {e}", file=sys.stderr)
+            has_errors = True
+    return has_errors
+
+
 def _main_encode(args: List[str]) -> int:
     """main.rs:545-583 — same checks, messages, and exit codes; multi-file
     runs batch same-bucket tracks through `Encoder.encode_many` (one device
     program per group, 1.3-1.4× the reference's serial file loop).  Message
-    text is unchanged; 'Saved' lines print after the batch, in input order.
-    A batch failure falls back to per-file encodes so error isolation is
-    exactly the reference's."""
-    import numpy as np
-
-    from .codec.encoder import Encoder
-    from .container.bincode import save_encoded
+    text is unchanged; 'Saved' lines print after each flushed batch, in
+    input order; resident PCM is bounded by _ENCODE_BATCH_BYTES."""
     from .io.audio import load_audio_for_encode
 
     has_errors = False
     jobs = []  # (path, samples, rate, channels)
+    pending_bytes = 0
     for a in args:
         path = Path(a)
         if not path.exists():
@@ -268,51 +325,16 @@ def _main_encode(args: List[str]) -> int:
             print(f"Encoding: {rate} Hz, {channels} channels, "
                   f"{len(samples)} samples")
             jobs.append((path, samples, rate, channels))
+            pending_bytes += samples.nbytes
         except Exception as e:
             print(f"Error encoding file: {e}", file=sys.stderr)
             has_errors = True
+        if pending_bytes >= _ENCODE_BATCH_BYTES:
+            has_errors |= _encode_jobs(jobs)
+            jobs, pending_bytes = [], 0
 
-    # one Encoder per sample rate; encode_many groups same-bucket tracks
-    by_rate: dict = {}
-    for j, (_path, _samples, rate, _ch) in enumerate(jobs):
-        by_rate.setdefault(rate, []).append(j)
-    encoded_all = [None] * len(jobs)
-    for rate, idxs in by_rate.items():
-        enc = Encoder(rate)
-        try:
-            outs = enc.encode_many(
-                [(jobs[j][1], jobs[j][3]) for j in idxs]
-            )
-            for j, ea in zip(idxs, outs):
-                encoded_all[j] = ea
-        except Exception:
-            # per-file fallback preserves the reference's error isolation
-            for j in idxs:
-                _path, samples, _rate, ch = jobs[j]
-                try:
-                    if samples.dtype == np.int16:
-                        encoded_all[j] = enc.encode_pcm16(samples, ch)
-                    else:
-                        encoded_all[j] = enc.encode(samples, ch)
-                except Exception as e:
-                    print(f"Error encoding file: {e}", file=sys.stderr)
-                    has_errors = True
-
-    for j, (path, _samples, _rate, _ch) in enumerate(jobs):
-        ea = encoded_all[j]
-        if ea is None:
-            continue
-        try:
-            output_path = path.with_suffix(".glc")
-            save_encoded(ea, output_path)
-            input_size = path.stat().st_size
-            output_size = output_path.stat().st_size
-            ratio = output_size / input_size * 100.0
-            print(f"Saved: {output_path.name!r} ({output_size} bytes, "
-                  f"{ratio:.1f}% of original)")
-        except Exception as e:
-            print(f"Error encoding file: {e}", file=sys.stderr)
-            has_errors = True
+    if jobs:
+        has_errors |= _encode_jobs(jobs)
     return 1 if has_errors else 0
 
 

@@ -525,24 +525,28 @@ class Decoder:
         Tracks whose packed upload lands in the same (chunk, budget,
         rbudget) buckets — the transfer-shape ladder makes same-material
         tracks coincide — are decoded by ONE batched device program: one
-        upload, one dispatch, one download for the whole group.  Everything
-        else (multi-chunk tracks, odd buckets) falls back to `decode_i16`.
-        Per-track output equals `decode_i16` within 1 LSB (the batched
-        program is the same traced body under lax.map; XLA may fuse the
-        IMDCT chain differently).
+        upload, one dispatch, one download for the whole group.  Singleton
+        groups dispatch the single-track packed program on the same
+        already-built buffer (no re-packing), so every single-chunk track's
+        transfers overlap the others'; only multi-chunk tracks fall back to
+        `decode_i16`.  Per-track output equals `decode_i16` within 1 LSB
+        (the batched program is the same traced body under lax.map; XLA may
+        fuse the IMDCT chain differently).
         """
         cfg = self.config
         n = cfg.n
         tb = self._tables
+        window_raw = not cfg.reference_compat
         results: list = [None] * len(encoded_list)
 
         groups: dict = {}
+        fallbacks: list = []
         for i, ea in enumerate(encoded_list):
             C = ea.header.channels
             F = ea.frame_set.num_frames
             chunk = chunk_size_for(max(F, 1), cfg.decode_chunk_frames)
             if F == 0 or F > chunk:
-                results[i] = self.decode_i16(ea)
+                fallbacks.append((i, ea))
                 continue
             words, budget, rbudget = _packed_slices(
                 ea.frame_set, 0, F, chunk, n, cfg.reference_compat
@@ -552,28 +556,39 @@ class Decoder:
 
         from ..ops.decode import decode_chunks_packed_batch_device
 
-        window_raw = not cfg.reference_compat
+        # dispatch every group (batched or singleton) before collecting
+        # anything, so all downloads pipeline on the link
         handles = []
         for (C, chunk, budget, rbudget), recs in groups.items():
-            if len(recs) == 1:
-                i, ea, F, words = recs[0]
-                results[i] = self.decode_i16(ea)
-                continue
-            words_b = np.stack([w for _i, _ea, _F, w in recs])
-            valid_b = np.asarray([F for _i, _ea, F, _w in recs], np.int32)
-            hops_d = decode_chunks_packed_batch_device(
-                jax.device_put(words_b), jax.device_put(valid_b),
-                tb.cos_table, tb.window, tb.norm,
+            kw = dict(
                 K=chunk, C=C, n=n, budget=budget, rbudget=rbudget,
                 max_q=cfg.max_q, window_raw=window_raw,
                 use_pallas=cfg.use_pallas,
                 out_i16=True, out_interleave=True, append_carry=True,
             )
+            valid_b = np.asarray([F for _i, _ea, F, _w in recs], np.int32)
+            if len(recs) == 1:
+                hops_d, _carry = decode_chunk_packed_device(
+                    jax.device_put(recs[0][3]),
+                    _zero_carry_device(C, n), np.int32(int(valid_b[0])),
+                    tb.cos_table, tb.window, tb.norm, **kw,
+                )
+                hops_d = hops_d[None]  # [1, K+1, n, C] — same collect shape
+            else:
+                hops_d = decode_chunks_packed_batch_device(
+                    jax.device_put(np.stack([w for *_x, w in recs])),
+                    jax.device_put(valid_b),
+                    tb.cos_table, tb.window, tb.norm, **kw,
+                )
             # device-side prefix over the hop axis (128-frame granularity,
             # like take_prefix_device) so batch padding beyond the longest
             # track never crosses the link
             rows = min(-(-(int(valid_b.max()) + 1) // 128) * 128, chunk + 1)
             handles.append((recs, _start_host_copy(hops_d[:, :rows])))
+
+        # multi-chunk fallbacks run while the dispatched downloads drain
+        for i, ea in fallbacks:
+            results[i] = self.decode_i16(ea)
 
         for recs, pref in handles:
             arr = np.asarray(pref)
@@ -584,7 +599,9 @@ class Decoder:
                 skip, limit = gapless_trim_bounds(
                     pre_len, ea.gapless_info, C, cfg.reference_compat
                 )
-                results[i] = flat[skip:limit]
+                # copy: the slice is a view into the whole batch download —
+                # returning it would pin [B, rows, n, C] in memory per track
+                results[i] = flat[skip : skip + limit].copy()
         return results
 
     # --- synchronous decode + gapless trim (codec.rs:744-768) ---

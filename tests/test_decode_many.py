@@ -1,11 +1,18 @@
 """Decoder.decode_many — the decode-side analog of Encoder.encode_many.
 
 Same-bucket single-chunk tracks decode through ONE batched device program
-(lax.map over the shared packed-decode body); everything else falls back to
-per-file decode_i16.  Per-track outputs must equal decode_i16 within 1 LSB
+(lax.map over the shared packed-decode body); singleton buckets dispatch the
+single-track program on the same pre-packed buffer; multi-chunk tracks fall
+back to decode_i16.  Per-track outputs must equal decode_i16 within 1 LSB
 (the batched program is the same traced body, but XLA may fuse the IMDCT
 chain differently under lax.map).  No reference analog: the GUI album
 export decodes files serially (reference src/ui.rs:317-359).
+
+Bucket subtlety the tests must respect: the pair-budget bucket depends on
+CONTENT (the kept-pair count rides a 5-bit ladder), so tracks only share a
+group when their material is similar — the tests use identical/equal-
+density tracks to force the batch path and ASSERT it ran (a round-3 review
+found the original tests silently exercising only the fallback).
 """
 
 import numpy as np
@@ -16,10 +23,6 @@ from utils import generate_sine_wave, generate_white_noise
 from glc_tpu import Decoder, Encoder
 from glc_tpu.album import decode_playlist
 from glc_tpu.container.bincode import save_encoded
-
-
-def _i16(x):
-    return np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
 
 
 @pytest.fixture(scope="module")
@@ -33,35 +36,54 @@ def _assert_within_1lsb(a, b):
         initial=0)) <= 1
 
 
-def test_decode_many_matches_serial_same_bucket(enc):
-    """Identical-length tonal tracks share every bucket → one batch."""
-    tracks = [
-        generate_sine_wave(440.0, 44100, 2, 1.0),
-        generate_sine_wave(660.0, 44100, 2, 1.0),
-        generate_sine_wave(880.0, 44100, 2, 1.0),
-    ]
+@pytest.fixture
+def batch_spy(monkeypatch):
+    """Count batched-program dispatches inside decode_many."""
+    import glc_tpu.ops.decode as od
+
+    calls = {"n": 0}
+    real = od.decode_chunks_packed_batch_device
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    # decode_many imports it from ops.decode at call time
+    monkeypatch.setattr(od, "decode_chunks_packed_batch_device", counting)
+    return calls
+
+
+def test_decode_many_batches_identical_material(enc, batch_spy):
+    """Identical tracks share every bucket → ONE batched dispatch, and the
+    batch path's trim must preserve exact lengths (a review caught it
+    dropping the last encoder_delay samples per track)."""
+    src = generate_sine_wave(440.0, 44100, 2, 1.0)
+    tracks = [src, src.copy(), src.copy()]
     encodeds = [enc.encode(t, 2) for t in tracks]
     dec = Decoder(2, 44100)
     outs = dec.decode_many(encodeds)
-    for ea, out, src in zip(encodeds, outs, tracks):
-        ref = dec.decode_i16(ea)
-        assert len(out) == len(src)
+    assert batch_spy["n"] == 1, "batched device program must actually run"
+    ref = dec.decode_i16(encodeds[0])
+    for out, src_t in zip(outs, tracks):
+        assert len(out) == len(src_t)
         _assert_within_1lsb(out, ref)
 
 
-def test_decode_many_mixed_buckets_and_raw(enc):
-    """Different lengths + a raw-PCM track: multiple groups + fallbacks,
-    results in input order."""
+def test_decode_many_mixed_buckets_and_raw(enc, batch_spy):
+    """Different material + a raw-PCM track: batched group + singleton
+    dispatches + order preserved."""
+    same = generate_sine_wave(440.0, 44100, 2, 0.6)
     tracks = [
-        generate_sine_wave(440.0, 44100, 2, 0.4),
+        same,
         generate_white_noise(44100, 2, 0.4, 3) * np.float32(0.5),  # raw path
-        generate_sine_wave(550.0, 44100, 2, 1.3),
-        generate_sine_wave(330.0, 44100, 2, 0.4),
+        same.copy(),
+        generate_sine_wave(3313.0, 44100, 2, 1.1),
     ]
     encodeds = [enc.encode(t, 2) for t in tracks]
     assert int(encodeds[1].frame_set.raw_mask.sum()) > 0
     dec = Decoder(2, 44100)
     outs = dec.decode_many(encodeds)
+    assert batch_spy["n"] >= 1  # tracks 0 and 2 share a group
     for ea, out, src in zip(encodeds, outs, tracks):
         assert len(out) == len(src)
         _assert_within_1lsb(out, dec.decode_i16(ea))
@@ -75,10 +97,11 @@ def test_decode_many_multichunk_falls_back(enc):
     from glc_tpu.config import DEFAULT_CONFIG
 
     cfg = replace(DEFAULT_CONFIG, decode_chunk_frames=128)
+    short = generate_sine_wave(440.0, 44100, 1, 0.5)
     tracks = [
-        generate_sine_wave(440.0, 44100, 1, 0.5),
+        short,
         generate_sine_wave(220.0, 44100, 1, 3.5),  # > 128 frames
-        generate_sine_wave(880.0, 44100, 1, 0.5),
+        short.copy(),
     ]
     encodeds = [enc.encode(t, 1) for t in tracks]
     assert encodeds[1].frame_set.num_frames > 128
@@ -89,10 +112,21 @@ def test_decode_many_multichunk_falls_back(enc):
         _assert_within_1lsb(out, dec.decode_i16(ea))
 
 
-def test_decode_playlist_uses_batch(tmp_path, enc):
+def test_decode_many_results_do_not_pin_batch_buffer(enc, batch_spy):
+    """Each result owns its memory (no view into the whole batch download)."""
+    src = generate_sine_wave(440.0, 44100, 2, 0.5)
+    encodeds = [enc.encode(src, 2), enc.encode(src.copy(), 2)]
+    outs = Decoder(2, 44100).decode_many(encodeds)
+    assert batch_spy["n"] == 1
+    for out in outs:
+        assert out.base is None or out.base.nbytes <= out.nbytes
+
+
+def test_decode_playlist_uses_batch(tmp_path, enc, batch_spy):
     """decode_playlist routes through decode_many and concatenates
     gaplessly (reference tests/test_codec.rs:139-170)."""
-    tracks = [generate_sine_wave(f, 44100, 2, 0.5) for f in (440.0, 660.0)]
+    src = generate_sine_wave(440.0, 44100, 2, 0.5)
+    tracks = [src, src.copy()]
     paths = []
     for i, t in enumerate(tracks):
         p = tmp_path / f"t{i}.glc"
@@ -100,11 +134,9 @@ def test_decode_playlist_uses_batch(tmp_path, enc):
         paths.append(p)
 
     samples, rate, channels = decode_playlist(paths)
+    assert batch_spy["n"] == 1
     assert (rate, channels) == (44100, 2)
     assert len(samples) == sum(len(t) for t in tracks)
-    # the concatenation equals per-file serial decodes back-to-back (1 LSB)
     dec = Decoder(2, 44100)
-    ref = np.concatenate(
-        [dec.decode_i16(enc.encode(t, 2)) for t in tracks]
-    )
+    ref = np.concatenate([dec.decode_i16(enc.encode(t, 2)) for t in tracks])
     _assert_within_1lsb(samples, ref)
