@@ -270,6 +270,35 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # --- album decode: the same 4 tracks through decode_many (one batched
+    # device program) vs the serial per-file decode_i16 loop ---
+    album_eas = enc.encode_many(tracks)
+    dec.decode_many(album_eas)                      # warmup
+    [dec.decode_i16(ea) for ea in album_eas]        # warm serial comparator
+    dalb_times, dser_times = [], []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        outs_b = dec.decode_many(album_eas)
+        dalb_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        outs_s = [dec.decode_i16(ea) for ea in album_eas]
+        dser_times.append(time.perf_counter() - t0)
+    best_da, med_da = min(dalb_times), float(np.median(dalb_times))
+    best_ds = min(dser_times)
+    for ob, os_ in zip(outs_b, outs_s):  # within 1 LSB (lax.map fusion)
+        assert len(ob) == len(os_)
+        assert int(np.abs(ob.astype(np.int32)
+                          - os_.astype(np.int32)).max(initial=0)) <= 1
+    emit(
+        "album_decode_realtime_factor_44k_stereo", duration_s, best_da,
+        med_da, vs_serial=round(best_ds / best_da, 2),
+    )
+    print(
+        f"# album decode 4x15s stereo: batched {best_da*1000:.1f} ms vs "
+        f"serial {best_ds*1000:.1f} ms ({best_ds/best_da:.2f}x, <=1 LSB)",
+        file=sys.stderr,
+    )
+
     # --- long file: 10-minute stereo exercises the multi-segment plan,
     # the resident-length ladder, and the in-flight window; run twice to
     # show the second run pays zero recompiles ---
