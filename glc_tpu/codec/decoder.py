@@ -25,7 +25,11 @@ import numpy as np
 
 from ..config import CodecConfig, DEFAULT_CONFIG
 from ..container.schema import AudioChunk, EncodedAudio, FrameSet, Progress
-from ..ops.decode import decode_chunk_packed_device, take_prefix_device
+from ..ops.decode import (
+    decode_chunk_packed_device,
+    prefix_rows,
+    take_prefix_device,
+)
 from .tables import chunk_size_for, get_device_tables, len_bucket
 
 ProgressSender = Callable[[Progress], None]
@@ -60,9 +64,6 @@ def _start_host_copy(arr):
     except Exception:
         pass  # np.asarray will do a synchronous copy
     return arr
-
-
-_len_bucket = len_bucket
 
 
 def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
@@ -120,7 +121,7 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     # ladder-bucketed upload shapes, capped at the dense maximum — keeps
     # the set of compiled decode programs small while wasting ≤6.25% of the
     # pairs upload (these are link bytes; pow2 wasted up to 2×)
-    budget = min(_len_bucket(P, 5), K * C * n)
+    budget = min(len_bucket(P, 5), K * C * n)
     if P > budget:
         # Post-dedup, each row holds ≤ n+1 distinct slots (n in-range plus
         # one OOB slot), so a malformed stream can exceed the dense budget
@@ -134,7 +135,7 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     R = int(is_raw_v.sum())
     # raw rows are the widest upload records (C·frame_size i16 each), so
     # they get the 4-bit ladder too (floor 16, ≤12.5% overshoot)
-    rbudget = min(_len_bucket(R, 4), K) if R else 0
+    rbudget = min(len_bucket(R, 4), K) if R else 0
     base = budget + (K * C) // 2 + K * C + K
     raw_sec = rbudget + rbudget * C * frame_size // 2
     words = np.empty(base + raw_sec, np.int32)
@@ -580,28 +581,24 @@ class Decoder:
                     jax.device_put(valid_b),
                     tb.cos_table, tb.window, tb.norm, **kw,
                 )
-            # device-side prefix over the hop axis (128-frame granularity,
-            # like take_prefix_device) so batch padding beyond the longest
-            # track never crosses the link
-            rows = min(-(-(int(valid_b.max()) + 1) // 128) * 128, chunk + 1)
-            handles.append((recs, _start_host_copy(hops_d[:, :rows])))
+            # device-side prefix over the hop axis so batch padding beyond
+            # the longest track never crosses the link
+            rows = prefix_rows(int(valid_b.max()) + 1, chunk + 1)
+            handles.append((recs, C, _start_host_copy(hops_d[:, :rows])))
 
         # multi-chunk fallbacks run while the dispatched downloads drain
         for i, ea in fallbacks:
             results[i] = self.decode_i16(ea)
 
-        for recs, pref in handles:
+        for recs, C, pref in handles:
             arr = np.asarray(pref)
-            C = recs[0][1].header.channels
             for b, (i, ea, F, _w) in enumerate(recs):
                 flat = arr[b, : F + 1].reshape(-1)  # F hops + tail row
-                pre_len = (F + 1) * n * C
-                skip, limit = gapless_trim_bounds(
-                    pre_len, ea.gapless_info, C, cfg.reference_compat
-                )
-                # copy: the slice is a view into the whole batch download —
+                # copy: the trim is a view into the whole batch download —
                 # returning it would pin [B, rows, n, C] in memory per track
-                results[i] = flat[skip : skip + limit].copy()
+                results[i] = gapless_trim(
+                    flat, ea.gapless_info, C, cfg.reference_compat
+                ).copy()
         return results
 
     # --- synchronous decode + gapless trim (codec.rs:744-768) ---

@@ -30,6 +30,13 @@ def _take_prefix(x: jnp.ndarray, *, k: int) -> jnp.ndarray:
     return x[:k]
 
 
+def prefix_rows(valid: int, cap: int) -> int:
+    """Row count of the device-side prefix: `valid` rounded up to the
+    128-row grain, capped — shared by take_prefix_device (leading axis) and
+    decode_many's batched hop-axis slice."""
+    return min(-(-valid // _PREFIX_GRAIN) * _PREFIX_GRAIN, cap)
+
+
 def take_prefix_device(x: jnp.ndarray, valid: int) -> jnp.ndarray:
     """Device-side prefix of the leading axis, bucketed to 128-frame
     granularity so only O(K/128) tiny slice programs ever compile.
@@ -40,7 +47,7 @@ def take_prefix_device(x: jnp.ndarray, valid: int) -> jnp.ndarray:
     one bucket (≤127 frames) of the real data.
     """
     K = x.shape[0]
-    k = min(-(-valid // _PREFIX_GRAIN) * _PREFIX_GRAIN, K)
+    k = prefix_rows(valid, K)
     if k >= K:
         return x
     return _take_prefix(x, k=k)
