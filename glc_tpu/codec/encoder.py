@@ -294,6 +294,9 @@ class Encoder:
         results: list = [None] * len(prepped)
 
         # Pipelined solo path (multi-segment tracks): keep two in flight.
+        # Depth swept on chip (4×150 s tracks, depths 1-4, 3 reps): all
+        # within link noise (means 3.5-4.0 s); 2 keeps peak memory at two
+        # resident signals with no measurable cost.
         finishers: list = []
         for i, samples, C, pcm16 in solos:
             finishers.append(
