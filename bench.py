@@ -20,9 +20,11 @@ Link-ceiling attribution: the host↔device relay in this environment swings
 18-70 MB/s between runs and is HALF-DUPLEX with asymmetric directions, so a
 ceiling probed once is meaningless for a run made seconds later.  Every
 timed pipeline run is therefore paired with an ADJACENT bandwidth probe of
-the same transfer direction(s), and each metric's `pct_of_link_ceiling`
-compares the best run against the ceiling implied by ITS OWN adjacent
-probe.  Ceiling bytes per metric:
+the same transfer direction(s); each metric's official
+`pct_of_link_ceiling` is the MEDIAN over runs of (achieved / own-probe
+ceiling) — the best single pairing is also reported but is noisy in both
+directions (a probe that under-reads the link its run actually got shows
+>100%).  Ceiling bytes per metric:
 
   * encode: the irreducible i16 PCM upload (samples.nbytes) + the encoded
     container's bytes coming back down (the sparse pairs/stats must cross
@@ -80,6 +82,25 @@ def emit(metric: str, duration_s: float, best: float, med: float, **extra):
     line.update(extra)
     print(json.dumps(line))
     sys.stdout.flush()
+
+
+
+def _ceiling_fields(times, ceils, duration_s):
+    """Ceiling JSON fields for one metric: the official
+    `pct_of_link_ceiling` is the MEDIAN of per-run (achieved / own-probe
+    ceiling) ratios — pairing only the best run's time with its single
+    adjacent probe is noisy in both directions (a probe that under-reads
+    the link the run actually got yields >100%).  The best run's ceiling is
+    still reported for context."""
+    import numpy as _np
+
+    i = int(_np.argmin(times))
+    ratios = [100.0 * (duration_s / t) / c for t, c in zip(times, ceils)]
+    return dict(
+        link_ceiling_x_realtime=round(ceils[i], 1),
+        pct_of_link_ceiling=round(float(_np.median(ratios)), 1),
+        pct_of_link_ceiling_best_run=round(ratios[i], 1),
+    )
 
 
 def main() -> None:
@@ -181,13 +202,10 @@ def main() -> None:
         floor_s = words_bytes / bw_u + down_bytes / bw_d
         flac_ceils.append(duration_s / floor_s)
 
-    i = int(np.argmin(enc_times))
-    best, med = enc_times[i], float(np.median(enc_times))
-    ceil = enc_ceils[i]
+    best, med = min(enc_times), float(np.median(enc_times))
     emit(
         "encode_realtime_factor_44k_stereo", duration_s, best, med,
-        link_ceiling_x_realtime=round(ceil, 1),
-        pct_of_link_ceiling=round(100.0 * (duration_s / best) / ceil, 1),
+        **_ceiling_fields(enc_times, enc_ceils, duration_s),
     )
     print(
         f"# encode {duration_s:.0f}s stereo in {best*1000:.1f} ms "
@@ -208,13 +226,10 @@ def main() -> None:
     _encode_stage_attribution(enc, samples, duration_s)
 
     # --- decode (decode_i16, the export path) ---
-    i = int(np.argmin(dec_times))
-    best_d, med_d = dec_times[i], float(np.median(dec_times))
-    ceil_d = dec_ceils[i]
+    best_d, med_d = min(dec_times), float(np.median(dec_times))
     emit(
         "decode_realtime_factor_44k_stereo", duration_s, best_d, med_d,
-        link_ceiling_x_realtime=round(ceil_d, 1),
-        pct_of_link_ceiling=round(100.0 * (duration_s / best_d) / ceil_d, 1),
+        **_ceiling_fields(dec_times, dec_ceils, duration_s),
     )
     print(
         f"# decode {duration_s:.0f}s stereo in {best_d*1000:.1f} ms "
@@ -226,13 +241,10 @@ def main() -> None:
 
     # --- FLAC export (decode + FLAC encode level 5, the `glc -d` default:
     # streamed, so host FLAC math overlaps the decode's transfers) ---
-    i = int(np.argmin(flac_times))
-    best_f, med_f = flac_times[i], float(np.median(flac_times))
-    ceil_f = flac_ceils[i]
+    best_f, med_f = min(flac_times), float(np.median(flac_times))
     emit(
         "flac_export_realtime_factor_44k_stereo", duration_s, best_f, med_f,
-        link_ceiling_x_realtime=round(ceil_f, 1),
-        pct_of_link_ceiling=round(100.0 * (duration_s / best_f) / ceil_f, 1),
+        **_ceiling_fields(flac_times, flac_ceils, duration_s),
     )
     print(
         f"# decode+flac(level 5) {duration_s:.0f}s stereo in "
@@ -260,13 +272,18 @@ def main() -> None:
     best_a, med_a = min(alb_times), float(np.median(alb_times))
     best_s = min(ser_times)
     assert many == ser, "batched album must be bit-identical to serial"
+    # each rep times batched and serial back-to-back, so the per-rep ratio
+    # is link-phase-fair; the official vs_serial is the median of those
+    vs = float(np.median([s_ / a for a, s_ in zip(alb_times, ser_times)]))
     emit(
         "album_encode_realtime_factor_44k_stereo", duration_s, best_a, med_a,
-        vs_serial=round(best_s / best_a, 2),
+        vs_serial=round(vs, 2),
     )
     print(
         f"# album 4x15s stereo: batched {best_a*1000:.1f} ms vs serial "
-        f"{best_s*1000:.1f} ms ({best_s/best_a:.2f}x, bit-identical)",
+        f"{best_s*1000:.1f} ms (median per-rep {vs:.2f}x, bit-identical; "
+        + " ".join(f"{s_/a:.2f}x" for a, s_ in zip(alb_times, ser_times))
+        + ")",
         file=sys.stderr,
     )
 
@@ -289,13 +306,14 @@ def main() -> None:
         assert len(ob) == len(os_)
         assert int(np.abs(ob.astype(np.int32)
                           - os_.astype(np.int32)).max(initial=0)) <= 1
+    vs_d = float(np.median([s_ / a for a, s_ in zip(dalb_times, dser_times)]))
     emit(
         "album_decode_realtime_factor_44k_stereo", duration_s, best_da,
-        med_da, vs_serial=round(best_ds / best_da, 2),
+        med_da, vs_serial=round(vs_d, 2),
     )
     print(
         f"# album decode 4x15s stereo: batched {best_da*1000:.1f} ms vs "
-        f"serial {best_ds*1000:.1f} ms ({best_ds/best_da:.2f}x, <=1 LSB)",
+        f"serial {best_ds*1000:.1f} ms (median per-rep {vs_d:.2f}x, <=1 LSB)",
         file=sys.stderr,
     )
 
