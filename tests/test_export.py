@@ -157,3 +157,68 @@ def test_album_empty_playlist_rejected():
     from glc_tpu.album import decode_playlist
     with pytest.raises(ValueError):
         decode_playlist([])
+
+
+def _wav_bytes(fmt_body: bytes, data_body: bytes) -> bytes:
+    import struct
+
+    chunks = (b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+              + b"data" + struct.pack("<I", len(data_body)) + data_body)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_8bit_offset_binary(tmp_path):
+    """8-bit WAV is unsigned offset-binary (hound normalizes /2^7)."""
+    import struct
+
+    vals = np.array([0, 128, 255, 64], np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    p = tmp_path / "u8.wav"
+    p.write_bytes(_wav_bytes(fmt, vals.tobytes()))
+    from glc_tpu.io.wav import read_wav
+
+    s, rate, ch = read_wav(p)
+    assert (rate, ch) == (8000, 1)
+    np.testing.assert_allclose(
+        s, (vals.astype(np.int16) - 128) / 128.0, atol=0
+    )
+
+
+def test_wav_32bit_int_and_float64(tmp_path):
+    import struct
+
+    i32 = np.array([0, 2**31 - 1, -(2**31), 12345678], "<i4")
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 4, 4, 32)
+    p = tmp_path / "i32.wav"
+    p.write_bytes(_wav_bytes(fmt, i32.tobytes()))
+    from glc_tpu.io.wav import read_wav
+
+    s, _r, _c = read_wav(p)
+    np.testing.assert_allclose(s, (i32 / 2.0**31).astype(np.float32))
+
+    f64 = np.array([0.0, 0.5, -1.0, 0.125], "<f8")
+    fmt = struct.pack("<HHIIHH", 3, 2, 48000, 48000 * 16, 16, 64)
+    p = tmp_path / "f64.wav"
+    p.write_bytes(_wav_bytes(fmt, f64.tobytes()))
+    s, rate, ch = read_wav(p)
+    assert (rate, ch) == (48000, 2)
+    np.testing.assert_array_equal(s, f64.astype(np.float32))
+
+
+def test_wav_extensible_resolves_subformat(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves to its SubFormat code."""
+    import struct
+
+    i16 = np.array([100, -100, 32767, -32768], "<i2")
+    # extensible fmt: base fields + cbSize=22 + validbits + mask + GUID
+    fmt = (struct.pack("<HHIIHH", 0xFFFE, 2, 44100, 44100 * 4, 4, 16)
+           + struct.pack("<HHI", 22, 16, 3)
+           + struct.pack("<H", 1)  # SubFormat code = PCM
+           + b"\x00" * 14)
+    p = tmp_path / "ext.wav"
+    p.write_bytes(_wav_bytes(fmt, i16.tobytes()))
+    from glc_tpu.io.wav import read_wav, read_wav_pcm16
+
+    s, rate, ch = read_wav(p)
+    assert (rate, ch) == (44100, 2)
+    np.testing.assert_array_equal(s, i16 / np.float32(32768.0))
