@@ -161,3 +161,19 @@ def test_encode_many_batched_group_matches_serial():
     for got, want in zip(many, singles):
         assert serialize_encoded(got) == serialize_encoded(want)
     assert singles[2].frame_set.raw_mask.any()  # noise hit the raw path
+
+
+def test_piecewise_upload_container_identical(monkeypatch):
+    """upload_resident's piecewise path (device concat) must produce the
+    same resident signal — containers bit-identical to whole-buffer upload."""
+    import glc_tpu.codec.encoder as em
+    from glc_tpu import Encoder, serialize_encoded
+    from utils import generate_sine_wave
+
+    s = generate_sine_wave(440.0, 44100, 2, 3.0)
+    enc = Encoder(44100)
+    ref = serialize_encoded(enc.encode(s, 2))
+    # force the split (normal threshold is 32 MB; this signal is ~1 MB)
+    monkeypatch.setattr(em, "_UPLOAD_PIECE_BYTES", 1 << 16)
+    got = serialize_encoded(enc.encode(s, 2))
+    assert got == ref
