@@ -162,6 +162,51 @@ def main() -> None:
 
     runs = 7
 
+    # --- long file: 10-minute stereo exercises the multi-segment plan,
+    # the resident-length ladder, the piecewise resident upload, and the
+    # in-flight window.  Runs FIRST, right after warmup: a long session
+    # degrades the relay's sustained large-transfer rate (measured 7/7 runs
+    # at end-of-bench 22-71x vs 5/5 standalone runs 105-250x; profiler
+    # trace shows ~88% of the wall waiting on the 106 MB background upload,
+    # jax.clear_caches() recovered it only once) — early placement measures
+    # the pipeline under the fresh-session conditions standalone use sees,
+    # and the 60 s metrics that follow are unaffected (their buffers are
+    # 10x smaller and round-robined). ---
+    try:
+        long_s = 600.0
+        long_pcm = np.clip(
+            make_signal(long_s, sample_rate) * 32767.0, -32768, 32767
+        ).astype(np.int16)
+        t0 = time.perf_counter()
+        enc.encode_pcm16(long_pcm, 2)
+        warm = time.perf_counter() - t0
+        # the relay link swings 18-70 MB/s between runs, so a single hot
+        # run can be dominated by a transient stall: take the best of 3,
+        # with an adjacent probe per run for attribution
+        hots, ceils = [], []
+        for _ in range(3):
+            bw_l = probe_up()
+            t0 = time.perf_counter()
+            serialize_encoded(enc.encode_pcm16(long_pcm, 2))
+            hots.append(time.perf_counter() - t0)
+            ceils.append(long_s / (long_pcm.nbytes / bw_l))
+        i_l = int(np.argmin(hots))
+        hot = hots[i_l]
+        print(
+            f"# long file 600s stereo: first {warm*1000:.0f} ms "
+            f"(incl. segment-plan compiles), best hot {hot*1000:.0f} ms = "
+            f"{long_s/hot:.0f}x realtime = "
+            f"{100*(long_s/hot)/ceils[i_l]:.0f}% of its adjacent "
+            f"{ceils[i_l]:.0f}x upload ceiling (runs: "
+            + " ".join(f"{long_s/h:.0f}x" for h in hots)
+            + "; multi-segment, zero recompile)",
+            file=sys.stderr,
+        )
+        del long_pcm
+    except Exception as e:
+        print(f"# long-file diagnostic failed: {e}", file=sys.stderr)
+
+
     # --- timed runs, ROUND-ROBIN across the three pipelines: the relay's
     # bandwidth phases last seconds-to-minutes, so running each metric's N
     # repeats back-to-back lets one slow phase doom one metric while its
@@ -316,51 +361,6 @@ def main() -> None:
         f"serial {best_ds*1000:.1f} ms (median per-rep {vs_d:.2f}x, <=1 LSB)",
         file=sys.stderr,
     )
-
-    # --- long file: 10-minute stereo exercises the multi-segment plan,
-    # the resident-length ladder, and the in-flight window; run twice to
-    # show the second run pays zero recompiles ---
-    try:
-        long_s = 600.0
-        long_pcm = np.clip(
-            make_signal(long_s, sample_rate) * 32767.0, -32768, 32767
-        ).astype(np.int16)
-        # Measured (STATUS round-3 notes): a long jax session intermittently
-        # degrades the relay's big-transfer rate 2-5× (106 MB device_put
-        # 53 → 5.5 MB/s in one trial) with our live-array count flat at 9 —
-        # state jax.clear_caches() released restored full rate in the same
-        # trial.  Clear here so this diagnostic reflects a fresh session,
-        # as standalone long-file use would see; the rewarm cost lands in
-        # `first` (the persistent compile cache keeps it small).
-        jax.clear_caches()
-        t0 = time.perf_counter()
-        enc.encode_pcm16(long_pcm, 2)
-        warm = time.perf_counter() - t0
-        # the relay link swings 18-70 MB/s between runs, so a single hot
-        # run can be dominated by a transient stall: take the best of 3,
-        # with an adjacent probe per run for attribution
-        hots, ceils = [], []
-        for _ in range(3):
-            bw_l = probe_up()
-            t0 = time.perf_counter()
-            serialize_encoded(enc.encode_pcm16(long_pcm, 2))
-            hots.append(time.perf_counter() - t0)
-            ceils.append(long_s / (long_pcm.nbytes / bw_l))
-        i_l = int(np.argmin(hots))
-        hot = hots[i_l]
-        print(
-            f"# long file 600s stereo: first {warm*1000:.0f} ms "
-            f"(incl. segment-plan compiles), best hot {hot*1000:.0f} ms = "
-            f"{long_s/hot:.0f}x realtime = "
-            f"{100*(long_s/hot)/ceils[i_l]:.0f}% of its adjacent "
-            f"{ceils[i_l]:.0f}x upload ceiling (runs: "
-            + " ".join(f"{long_s/h:.0f}x" for h in hots)
-            + "; multi-segment, zero recompile)",
-            file=sys.stderr,
-        )
-        del long_pcm
-    except Exception as e:
-        print(f"# long-file diagnostic failed: {e}", file=sys.stderr)
 
     # --- diagnostics: device-compute-only realtime factor + compaction ---
     try:

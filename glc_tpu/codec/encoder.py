@@ -389,12 +389,22 @@ class Encoder:
         S = K * stats_width
         guess = self._pair_guess.get((C, K), max(budget // 8, 1 << 14))
         cut0 = min(_len_bucket(guess, 5), budget)
-        first = np.asarray(out_d[:, : S + cut0])   # ONE download for B tracks
+        # per-track async burst copies rather than one [B, S+cut0] sustained
+        # download: the relay's sustained large-transfer rate intermittently
+        # drops far below its burst rate (measured flipping batched-vs-
+        # serial album encode from 1.3× to 0.9×)
+        slices = [out_d[j, : S + cut0] for j in range(B)]
+        for sl in slices:
+            try:
+                sl.copy_to_host_async()
+            except Exception:
+                pass
+        firsts = [np.asarray(sl) for sl in slices]
 
         max_wanted = 1
         for j, (i, samples, F, padding) in enumerate(recs):
             total_samples = len(samples)
-            stats = first[j, :S].reshape(K, stats_width)
+            stats = firsts[j][:S].reshape(K, stats_width)
             nnz = stats[:F, :C].astype(np.int64)
             scales = stats[:F, C : 2 * C].view(np.float32).copy()
             use_raw = stats[:F, 2 * C] != 0
@@ -405,9 +415,9 @@ class Encoder:
                 if wanted > cut0:
                     cut = min(_len_bucket(wanted, 5), budget)
                     tail = np.asarray(out_d[j, S + cut0 : S + cut])
-                    packed = np.concatenate([first[j, S:], tail])[:wanted]
+                    packed = np.concatenate([firsts[j][S:], tail])[:wanted]
                 else:
-                    packed = first[j, S : S + wanted]
+                    packed = firsts[j][S : S + wanted]
                 pairs = np.empty(wanted, PAIR_DTYPE)
                 pairs["k"] = (packed >> 16).astype(np.uint16)
                 pairs["q"] = (packed & 0xFFFF).astype(np.uint16).view(
