@@ -25,11 +25,7 @@ import numpy as np
 
 from ..config import CodecConfig, DEFAULT_CONFIG
 from ..container.schema import AudioChunk, EncodedAudio, FrameSet, Progress
-from ..ops.decode import (
-    decode_chunk_packed_device,
-    prefix_rows,
-    take_prefix_device,
-)
+from ..ops.decode import decode_chunk_packed_device, prefix_rows
 from .tables import chunk_size_for, get_device_tables, len_bucket
 
 ProgressSender = Callable[[Progress], None]
@@ -64,6 +60,32 @@ def _start_host_copy(arr):
     except Exception:
         pass  # np.asarray will do a synchronous copy
     return arr
+
+
+# Hop downloads leave the device in ≤1024-row pieces (~4 MB stereo): the
+# relay's SUSTAINED single-transfer rate intermittently drops far below its
+# burst rate (decode_i16 of 60 s measured 234-285 ms at 1024-row granularity
+# vs 301-502 ms as one ~11 MB transfer).  Pieces are queued back-to-back
+# with async copies, so no latency is added.
+_DOWNLOAD_PIECE_ROWS = 1024
+
+
+def _piece_download(hops_d, rows: int):
+    """Slice the leading `rows` of a device hop tensor into ≤1024-row
+    pieces with async host copies started; returns the piece list."""
+    pieces = []
+    for o in range(0, rows, _DOWNLOAD_PIECE_ROWS):
+        pieces.append(
+            _start_host_copy(hops_d[o : min(o + _DOWNLOAD_PIECE_ROWS, rows)])
+        )
+    return pieces
+
+
+def _gather_pieces(pieces) -> np.ndarray:
+    """Materialize a pieced download as one host array."""
+    if len(pieces) == 1:
+        return np.asarray(pieces[0])
+    return np.concatenate([np.asarray(p) for p in pieces])
 
 
 def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
@@ -320,13 +342,13 @@ class Decoder:
         # One-chunk dispatch lookahead: kick off device chunk i+1 before
         # downloading chunk i so compute/upload overlap the download (the
         # double-buffered host feeder of SURVEY.md §2.8).
-        inflight = None  # (hops_device, valid)
+        inflight = None  # (piece list, valid)
         tail_row = None  # [n, C] — the stream's overlap tail (last chunk)
 
         def drain(handle, last=False):
             nonlocal pending_frames, tail_row
-            hops_d, valid = handle
-            arr = np.asarray(hops_d)
+            pieces, valid = handle
+            arr = _gather_pieces(pieces)
             pending.append(arr[:valid])
             pending_frames += valid
             if last:
@@ -368,9 +390,11 @@ class Decoder:
                 append_carry=True,
             )
             # device-side prefix slice: chunk padding never crosses the
-            # link; +1 row so the last chunk's download carries the tail
-            hops = _start_host_copy(take_prefix_device(hops, valid + 1))
-            prev, inflight = inflight, (hops, valid)
+            # link; +1 row so the last chunk's download carries the tail;
+            # pieced so the download rides burst transfers
+            rows = prefix_rows(valid + 1, chunk + 1)
+            pieces = _piece_download(hops, rows)
+            prev, inflight = inflight, (pieces, valid)
             if prev is not None:
                 drain(prev)
                 flush_full_chunks()
@@ -446,12 +470,12 @@ class Decoder:
             return flat
 
         def collect(handle):
-            hops_d, valid, last = handle
+            pieces, valid, last = handle
             # [valid(+1), n, C] i16, already interleaved; row `valid` of the
             # last chunk is the overlap tail, converted on device with the
             # exact hop epilogue (append_carry)
-            rows = valid + 1 if last else valid
-            return trim(np.asarray(hops_d)[:rows].reshape(-1))
+            need = valid + 1 if last else valid
+            return trim(_gather_pieces(pieces)[:need].reshape(-1))
 
         handles = []
         for start in range(0, F, chunk):
@@ -472,10 +496,8 @@ class Decoder:
                 append_carry=True,
             )
             last = start + chunk >= F
-            handles.append(
-                (_start_host_copy(take_prefix_device(hops_d, valid + 1)),
-                 valid, last)
-            )
+            rows = prefix_rows(valid + 1, chunk + 1)
+            handles.append((_piece_download(hops_d, rows), valid, last))
             # bound in-flight device memory while keeping the pipeline deep
             if len(handles) > 8:
                 out = collect(handles.pop(0))
