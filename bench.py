@@ -92,13 +92,11 @@ def _ceiling_fields(times, ceils, duration_s):
     adjacent probe is noisy in both directions (a probe that under-reads
     the link the run actually got yields >100%).  The best run's ceiling is
     still reported for context."""
-    import numpy as _np
-
-    i = int(_np.argmin(times))
+    i = int(np.argmin(times))
     ratios = [100.0 * (duration_s / t) / c for t, c in zip(times, ceils)]
     return dict(
         link_ceiling_x_realtime=round(ceils[i], 1),
-        pct_of_link_ceiling=round(float(_np.median(ratios)), 1),
+        pct_of_link_ceiling=round(float(np.median(ratios)), 1),
         pct_of_link_ceiling_best_run=round(ratios[i], 1),
     )
 

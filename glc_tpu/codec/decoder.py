@@ -25,7 +25,11 @@ import numpy as np
 
 from ..config import CodecConfig, DEFAULT_CONFIG
 from ..container.schema import AudioChunk, EncodedAudio, FrameSet, Progress
-from ..ops.decode import decode_chunk_packed_device, prefix_rows
+from ..ops.decode import (
+    decode_chunk_packed_device,
+    prefix_rows,
+    start_host_copy,
+)
 from .tables import chunk_size_for, get_device_tables, len_bucket
 
 ProgressSender = Callable[[Progress], None]
@@ -51,17 +55,6 @@ class _Cancelled(Exception):
     stream (rx.cancelled set)."""
 
 
-def _start_host_copy(arr):
-    """Kick off the device→host copy of a dispatched result so the later
-    np.asarray finds it local — chunk downloads overlap later chunks'
-    compute instead of paying the relay's per-transfer latency serially."""
-    try:
-        arr.copy_to_host_async()
-    except Exception:
-        pass  # np.asarray will do a synchronous copy
-    return arr
-
-
 # Hop downloads leave the device in ≤1024-row pieces (~4 MB stereo): the
 # relay's SUSTAINED single-transfer rate intermittently drops far below its
 # burst rate (decode_i16 of 60 s measured 234-285 ms at 1024-row granularity
@@ -76,7 +69,7 @@ def _piece_download(hops_d, rows: int):
     pieces = []
     for o in range(0, rows, _DOWNLOAD_PIECE_ROWS):
         pieces.append(
-            _start_host_copy(hops_d[o : min(o + _DOWNLOAD_PIECE_ROWS, rows)])
+            start_host_copy(hops_d[o : min(o + _DOWNLOAD_PIECE_ROWS, rows)])
         )
     return pieces
 
@@ -612,7 +605,7 @@ class Decoder:
             for b, (i, ea, F, _w) in enumerate(recs):
                 rows = prefix_rows(F + 1, chunk + 1)
                 handles.append(
-                    (i, ea, F, C, _start_host_copy(hops_d[b, :rows]))
+                    (i, ea, F, C, start_host_copy(hops_d[b, :rows]))
                 )
 
         # multi-chunk fallbacks run while the dispatched downloads drain

@@ -38,6 +38,7 @@ from ..container.schema import (
     FrameSet,
     GaplessInfo,
 )
+from ..ops.decode import start_host_copy
 from ..ops.encode import (
     encode_interleaved_batch_device,
     encode_interleaved_dense_device,
@@ -189,13 +190,16 @@ def _concat_pieces(*xs):
 
 
 def upload_resident(xup: np.ndarray):
-    """device_put for the resident signal: whole-buffer for normal files,
-    piecewise + device concat beyond 2×_UPLOAD_PIECE_BYTES."""
+    """device_put for resident signals (1-D interleaved or [B, L] batches):
+    whole-buffer for normal sizes, piecewise along axis 0 + device concat
+    beyond 2×_UPLOAD_PIECE_BYTES."""
     if xup.nbytes <= 2 * _UPLOAD_PIECE_BYTES:
         return jax.device_put(xup)
-    step = _UPLOAD_PIECE_BYTES // xup.itemsize
+    row_bytes = xup.nbytes // xup.shape[0]
+    step = max(1, _UPLOAD_PIECE_BYTES // row_bytes)
     pieces = [
-        jax.device_put(xup[i : i + step]) for i in range(0, len(xup), step)
+        jax.device_put(xup[i : i + step])
+        for i in range(0, xup.shape[0], step)
     ]
     return _concat_pieces(*pieces)
 
@@ -367,7 +371,7 @@ class Encoder:
         xb = np.zeros((B, L), dtype)
         for j, (_i, samples, _F, _padding) in enumerate(recs):
             xb[j, : len(samples)] = samples
-        xb_dev = jax.device_put(xb)
+        xb_dev = upload_resident(xb)
 
         budget = max(K * C * n // 8, 1 << 14)
         params = dict(
@@ -393,12 +397,7 @@ class Encoder:
         # download: the relay's sustained large-transfer rate intermittently
         # drops far below its burst rate (measured flipping batched-vs-
         # serial album encode from 1.3× to 0.9×)
-        slices = [out_d[j, : S + cut0] for j in range(B)]
-        for sl in slices:
-            try:
-                sl.copy_to_host_async()
-            except Exception:
-                pass
+        slices = [start_host_copy(out_d[j, : S + cut0]) for j in range(B)]
         firsts = [np.asarray(sl) for sl in slices]
 
         max_wanted = 1
@@ -538,12 +537,7 @@ class Encoder:
             # overshoot is capped at 6.25% (pow2 wasted up to 2×).
             guess = self._pair_guess.get((C, k), max(budget // 8, 1 << 14))
             cut0 = min(_len_bucket(guess, 5), budget)
-            sliced = out_d[: S + cut0]
-            try:
-                sliced.copy_to_host_async()
-            except Exception:
-                pass  # fall back to the synchronous copy in collect
-            return sliced, cut0
+            return start_host_copy(out_d[: S + cut0]), cut0
 
         def collect(rec):
             start, valid, k, out_d, sliced, cut0, budget = rec

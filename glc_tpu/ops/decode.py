@@ -30,6 +30,18 @@ def _take_prefix(x: jnp.ndarray, *, k: int) -> jnp.ndarray:
     return x[:k]
 
 
+def start_host_copy(arr):
+    """Kick off the device→host copy of a dispatched result so the later
+    np.asarray finds it local — downloads overlap later device work instead
+    of paying the relay's per-transfer latency serially.  Shared by every
+    host pipeline (decoder chunks/batches, encoder segment/batch fetches)."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:
+        pass  # np.asarray will do a synchronous copy
+    return arr
+
+
 def prefix_rows(valid: int, cap: int) -> int:
     """Row count of the device-side prefix: `valid` rounded up to the
     128-row grain, capped — shared by take_prefix_device (leading axis) and

@@ -222,3 +222,9 @@ def test_wav_extensible_resolves_subformat(tmp_path):
     s, rate, ch = read_wav(p)
     assert (rate, ch) == (44100, 2)
     np.testing.assert_array_equal(s, i16 / np.float32(32768.0))
+    # the exact i16 fast path must also resolve the extensible SubFormat
+    fast = read_wav_pcm16(p)
+    assert fast is not None
+    pcm, rate, ch = fast
+    assert (rate, ch) == (44100, 2)
+    np.testing.assert_array_equal(pcm, i16)

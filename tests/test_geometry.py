@@ -23,14 +23,21 @@ LENGTHS = [1, 2, 3, 511, 512, 513, 1023, 1024, 1025, 2047, 2048, 2049,
            4096, 44100, 88200, 88201, 1_000_000]
 
 
-@pytest.mark.parametrize("channels", [1, 2, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
 @pytest.mark.parametrize("total", LENGTHS)
 def test_frame_plan_matches_frame_signal(total, channels):
-    """The arithmetic twin must agree with the array-building original."""
-    if total % channels:
-        return  # ragged handled below
+    """The arithmetic twin must agree with the array-building original —
+    including on ragged inputs, where both must raise or both must accept
+    with identical geometry."""
     samples = np.zeros(total, np.float32)
-    padded, F_sig, padding_sig, T_sig = frame_signal(samples, channels, CFG)
+    try:
+        padded, F_sig, padding_sig, T_sig = frame_signal(
+            samples, channels, CFG
+        )
+    except ValueError:
+        with pytest.raises(ValueError):
+            frame_plan(total, channels, CFG)
+        return
     T, F, padding = frame_plan(total, channels, CFG)
     assert (T, F, padding) == (T_sig, F_sig, padding_sig)
     assert padded.shape == (channels, CFG.hop_size // 2 + T + padding)
