@@ -28,6 +28,13 @@ def decode_playlist(
     must share a sample rate and channel count (ui.rs decodes them into one
     sink; mismatched playlists are an error here rather than silent
     resampling).
+
+    Path dependence (±1 LSB): with progress=None, same-bucket tracks route
+    through the batched `decode_many`, whose lax.map program XLA may fuse
+    differently from the serial `decode_i16` used when a progress callback
+    is given — so the same playlist can differ by ≤1 int16 LSB between
+    interactive and non-interactive callers (the same contract as every
+    other cross-program pair; tests pin the bound).
     """
     if not paths:
         raise ValueError("empty playlist")

@@ -37,8 +37,8 @@ def start_host_copy(arr):
     host pipeline (decoder chunks/batches, encoder segment/batch fetches)."""
     try:
         arr.copy_to_host_async()
-    except Exception:
-        pass  # np.asarray will do a synchronous copy
+    except AttributeError:
+        pass  # backend lacks async copies; np.asarray copies synchronously
     return arr
 
 
