@@ -10,21 +10,32 @@ Measures the full pipelines end to end — what `glc song.wav` and
   * flac_export: decode + full FLAC encode at level 5 (reference
     tests/test_performance.rs round-trip anchor);
   * album: 4×15 s multi-track encode_many (batched device program) vs the
-    serial per-file loop it replaces (reference src/main.rs:545-583).
+    serial per-file loop it replaces (reference src/main.rs:545-583);
+  * long file: a 600 s encode in a FRESH subprocess (the long-session relay
+    degradation cannot have accumulated there — see _run_longfile_fresh).
 
 The reference publishes no numbers (SURVEY.md §6); the north star is ≥500×
 realtime encode per chip (BASELINE.json).  `vs_baseline` is measured against
 that 500× target for every metric.
 
 Link-ceiling attribution: the host↔device relay in this environment swings
-18-70 MB/s between runs and is HALF-DUPLEX with asymmetric directions, so a
+6-70 MB/s between runs and is HALF-DUPLEX with asymmetric directions, so a
 ceiling probed once is meaningless for a run made seconds later.  Every
 timed pipeline run is therefore paired with an ADJACENT bandwidth probe of
 the same transfer direction(s); each metric's official
 `pct_of_link_ceiling` is the MEDIAN over runs of (achieved / own-probe
 ceiling) — the best single pairing is also reported but is noisy in both
 directions (a probe that under-reads the link its run actually got shows
->100%).  Ceiling bytes per metric:
+>100%).
+
+Upload probes must CONSUME: `device_put` + `block_until_ready` completes
+when the buffer is STAGED with the relay (measured 555-1042 MB/s, far
+above any wire), not when it crosses the wire — so every upload probe
+dispatches a tiny reduction over the uploaded array and downloads its
+1-element result, which can only complete after the real transfer.  The
+probe buffer is fully rewritten per probe in case the transport dedupes
+repeated content.  Download probes are honest by construction (bytes must
+arrive).  Ceiling bytes per metric:
 
   * encode: the irreducible i16 PCM upload (samples.nbytes) + the encoded
     container's bytes coming back down (the sparse pairs/stats must cross
@@ -34,22 +45,26 @@ directions (a probe that under-reads the link its run actually got shows
   * flac_export: same transfers as decode (FLAC math is host work that
     overlaps them).
 
-Prints one JSON line per metric (encode first — the headline number):
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
-
-Each JSON line carries "median_value" (min-of-N is the official value — the
-1-core VM is noisy — but the median shows typical behavior) plus the ceiling
-fields.  Stderr carries diagnostics: per-stage encode attribution (upload /
-device / download+assemble / serialize), the album serial comparator, a
-10-minute multi-segment long-file run, and forced-execution device-compute
-factors.
+ARTIFACT CONTRACT (the driver records only the LAST ~2000 chars of output
+and parses the LAST {"metric": ...} JSON line): per-metric JSON lines print
+as each section completes, but the FINAL line of the whole run is the
+flagship encode-e2e metric re-emitted with a compact `summary` field
+carrying every other metric — so the driver's `parsed` is the flagship
+number and the tail always contains every result.  _build_final_line keeps
+that line < 1500 chars (pinned by tests/test_bench_contract.py); verbose
+diagnostics go to stderr BEFORE it.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+# short-key → compact per-metric dict; assembled into the final summary line
+SUMMARY: dict = {}
 
 
 def make_signal(duration_s: float, sample_rate: int = 44100) -> np.ndarray:
@@ -70,7 +85,14 @@ def make_signal(duration_s: float, sample_rate: int = 44100) -> np.ndarray:
     return out
 
 
-def emit(metric: str, duration_s: float, best: float, med: float, **extra):
+def make_signal_i16(duration_s: float, sample_rate: int = 44100) -> np.ndarray:
+    return np.clip(
+        make_signal(duration_s, sample_rate) * 32767.0, -32768, 32767
+    ).astype(np.int16)
+
+
+def emit(metric: str, duration_s: float, best: float, med: float,
+         key=None, **extra) -> dict:
     rt = duration_s / best
     line = {
         "metric": metric,
@@ -82,7 +104,14 @@ def emit(metric: str, duration_s: float, best: float, med: float, **extra):
     line.update(extra)
     print(json.dumps(line))
     sys.stdout.flush()
-
+    if key is not None:
+        compact = {"x": line["value"], "med": line["median_value"]}
+        if "pct_of_link_ceiling" in extra:
+            compact["ceil_pct"] = extra["pct_of_link_ceiling"]
+        if "vs_serial" in extra:
+            compact["vs_serial"] = extra["vs_serial"]
+        SUMMARY[key] = compact
+    return line
 
 
 def _ceiling_fields(times, ceils, duration_s):
@@ -101,13 +130,160 @@ def _ceiling_fields(times, ceils, duration_s):
     )
 
 
+def _build_final_line(flagship: dict, summary: dict) -> str:
+    """The LAST line of bench output (see ARTIFACT CONTRACT above): the
+    flagship encode-e2e metric dict plus a compact `summary` of every other
+    metric.  Must stay < 1500 chars — well under the driver's ~2000-char
+    tail — so adding metrics can never push the flagship number out of the
+    artifact again (tests/test_bench_contract.py pins this with
+    representative data)."""
+    line = dict(flagship)
+    line["summary"] = summary
+    s = json.dumps(line, separators=(",", ":"))
+    if len(s) >= 1500:
+        # hard guard: shed verbose sub-keys before ever exceeding the tail
+        for d in line["summary"].values():
+            if isinstance(d, dict):
+                d.pop("runs", None)
+        s = json.dumps(line, separators=(",", ":"))
+    return s
+
+
+# --- long-file (600 s) measurement ----------------------------------------
+
+
+def _longfile_measure(probe_nbytes: int = 32 << 20) -> dict:
+    """Measure the 600 s stereo encode: first (warm, incl. segment-plan
+    compiles) then 3 hot runs, each with an ADJACENT upload probe for
+    attribution.
+
+    The probe is a 32 MB CONSUMING upload (device_put + a 1-element
+    reduction round-trip): big enough to sample the SUSTAINED wire rate
+    the 106 MB pipeline actually gets — the wire swings 6-50 MB/s between
+    minutes (measured; a 6 MB/s phase turns this metric into 35× no matter
+    what the code does, and an 11 MB staged probe would report 40+ MB/s
+    through the very same phase).
+
+    Runs in whatever process calls it — the official path is the fresh
+    subprocess of _run_longfile_fresh (VERDICT r3 item 2; a child process
+    that has moved no other traffic measures what standalone use sees).
+    Anchor: the duration-scaling test of reference
+    tests/test_performance.rs:49-53.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from glc_tpu import Encoder, serialize_encoded
+
+    sample_rate = 44100
+    long_s = 600.0
+    long_pcm = make_signal_i16(long_s, sample_rate)
+    probe_buf = long_pcm[: probe_nbytes // 2].copy()
+    _consume = jax.jit(lambda x: x[:1].astype(jnp.int32).sum())
+
+    def probe_up() -> float:
+        np.add(probe_buf, 1, out=probe_buf)
+        t0 = time.perf_counter()
+        np.asarray(_consume(jax.device_put(probe_buf)))
+        return probe_buf.nbytes / (time.perf_counter() - t0)
+
+    enc = Encoder(sample_rate)
+    t0 = time.perf_counter()
+    enc.encode_pcm16(long_pcm, 2)
+    warm = time.perf_counter() - t0
+    probe_up()  # compile the consuming probe outside the timed reps
+
+    hots, ceils = [], []
+    for _ in range(3):
+        bw = probe_up()
+        t0 = time.perf_counter()
+        serialize_encoded(enc.encode_pcm16(long_pcm, 2))
+        hots.append(time.perf_counter() - t0)
+        ceils.append(long_s / (long_pcm.nbytes / bw))
+    i = int(np.argmin(hots))
+    ratios = [100.0 * (long_s / h) / c for h, c in zip(hots, ceils)]
+    return {
+        "x": round(long_s / hots[i], 1),
+        "pct_adj": round(float(np.median(ratios)), 1),
+        "runs": [round(long_s / h, 1) for h in hots],
+        "warm_ms": round(warm * 1000),
+    }
+
+
+def longfile_child() -> None:
+    """`python bench.py --longfile-child`: the fresh-subprocess body.
+    Prints ONE JSON line on stdout; diagnostics ('# ...') on stderr."""
+    res = _longfile_measure()
+    print(json.dumps({"long_file_600s": res}))
+
+
+def _run_longfile_fresh():
+    """Run the 600 s case in a FRESH subprocess, BEFORE this process ever
+    touches the TPU (two live TPU processes serialize on the shared tunnel,
+    so the parent must not hold the chip while the child runs — and the
+    child must run first, since a claim is only released at process exit).
+    Costs one extra ~200 s chip claim; buys standalone-equivalent
+    measurement conditions for the one metric long sessions degrade."""
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--longfile-child"],
+            capture_output=True, text=True, timeout=720,
+        )
+        for ln in p.stderr.splitlines():
+            if ln.startswith("#"):
+                print(f"# [long-child] {ln[1:].strip()}", file=sys.stderr)
+        for ln in reversed(p.stdout.splitlines()):
+            if ln.startswith("{"):
+                return json.loads(ln)["long_file_600s"]
+        print(
+            f"# long-file child produced no result (rc={p.returncode}; "
+            f"stderr tail: {p.stderr[-300:]!r})",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# long-file child failed: {e}", file=sys.stderr)
+    return None
+
+
+def _emit_longfile(res: dict, fresh: bool) -> None:
+    line = {
+        "metric": "long_file_600s_encode_realtime_factor",
+        "value": res["x"],
+        "unit": "x_realtime",
+        "vs_baseline": round(res["x"] / 500.0, 3),
+        "pct_of_adjacent_probes": res["pct_adj"],
+        "fresh_subprocess": fresh,
+    }
+    print(json.dumps(line))
+    sys.stdout.flush()
+    SUMMARY["long600"] = {
+        "x": res["x"], "pct_adj": res["pct_adj"], "runs": res["runs"],
+        "fresh": fresh,
+    }
+    print(
+        f"# long file 600s stereo ({'fresh subprocess' if fresh else 'in-process'}): "
+        f"first {res['warm_ms']} ms (incl. segment-plan compiles), best hot "
+        f"{res['x']}x realtime at {res['pct_adj']}% of adjacent upload "
+        f"probes (runs: " + " ".join(f"{r}x" for r in res["runs"]) + ")",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
+    # Long-file FIRST, in a fresh child, before this process claims the TPU
+    # (see _run_longfile_fresh).  GLC_BENCH_NO_SUBPROC=1 skips the child
+    # (used by the in-process fallback path and quick local runs).
+    long_res = None
+    if os.environ.get("GLC_BENCH_NO_SUBPROC") != "1":
+        long_res = _run_longfile_fresh()
+        if long_res is not None:
+            _emit_longfile(long_res, fresh=True)
+
     duration_s = 60.0
     sample_rate = 44100
     # 16-bit-sourced program material (what a WAV/FLAC input actually is):
     # the encoder's exact i16 fast path applies, as it does for `glc x.wav`
-    samples_f32 = make_signal(duration_s, sample_rate)
-    samples = np.clip(samples_f32 * 32767.0, -32768, 32767).astype(np.int16)
+    samples = make_signal_i16(duration_s, sample_rate)
 
     import jax
 
@@ -135,9 +311,16 @@ def main() -> None:
     # Probes must defeat caching at every layer: device_put of an unchanged
     # host array and np.asarray of an unchanged device array can both be
     # served from caches (measured: a "10 s" 109 MB upload repeated in
-    # 0.08 s), so each probe perturbs a fresh buffer / forces a fresh
-    # device computation.
+    # 0.08 s) — and an upload only provably CROSSES THE WIRE when a
+    # consuming dispatch's output comes back (see module docstring), so
+    # probe_up rewrites its whole buffer and round-trips a 1-element
+    # reduction.
     probe_buf = samples.copy()
+
+    import jax.numpy as jnp
+
+    _consume = jax.jit(lambda x: x[:1].astype(jnp.int32).sum())
+    np.asarray(_consume(jax.device_put(probe_buf)))  # compile
 
     _bump = jax.jit(lambda x, i: x + i)
     probe_dev = jax.device_put(samples)
@@ -145,9 +328,9 @@ def main() -> None:
     _probe_n = [0]
 
     def probe_up() -> float:
-        probe_buf[0] += 1
+        np.add(probe_buf, 1, out=probe_buf)   # all-new bytes per probe
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(probe_buf))
+        np.asarray(_consume(jax.device_put(probe_buf)))
         return up_bytes / (time.perf_counter() - t0)
 
     def probe_down() -> float:
@@ -158,52 +341,18 @@ def main() -> None:
         np.asarray(src)
         return up_bytes / (time.perf_counter() - t0)
 
-    runs = 7
+    # in-process long-file fallback, right after warmup (only if the fresh
+    # child failed — the child is the representative measurement)
+    if long_res is None:
+        try:
+            res = _longfile_measure()
+            _emit_longfile(res, fresh=False)
+        except Exception as e:
+            print(f"# long-file diagnostic failed: {e}", file=sys.stderr)
 
-    # --- long file: 10-minute stereo exercises the multi-segment plan,
-    # the resident-length ladder, the piecewise resident upload, and the
-    # in-flight window.  Runs FIRST, right after warmup: a long session
-    # degrades the relay's sustained large-transfer rate (measured 7/7 runs
-    # at end-of-bench 22-71x vs 5/5 standalone runs 105-250x; profiler
-    # trace shows ~88% of the wall waiting on the 106 MB background upload,
-    # jax.clear_caches() recovered it only once) — early placement measures
-    # the pipeline under the fresh-session conditions standalone use sees,
-    # and the 60 s metrics that follow are unaffected (their buffers are
-    # 10x smaller and round-robined). ---
-    try:
-        long_s = 600.0
-        long_pcm = np.clip(
-            make_signal(long_s, sample_rate) * 32767.0, -32768, 32767
-        ).astype(np.int16)
-        t0 = time.perf_counter()
-        enc.encode_pcm16(long_pcm, 2)
-        warm = time.perf_counter() - t0
-        # the relay link swings 18-70 MB/s between runs, so a single hot
-        # run can be dominated by a transient stall: take the best of 3,
-        # with an adjacent probe per run for attribution
-        hots, ceils = [], []
-        for _ in range(3):
-            bw_l = probe_up()
-            t0 = time.perf_counter()
-            serialize_encoded(enc.encode_pcm16(long_pcm, 2))
-            hots.append(time.perf_counter() - t0)
-            ceils.append(long_s / (long_pcm.nbytes / bw_l))
-        i_l = int(np.argmin(hots))
-        hot = hots[i_l]
-        print(
-            f"# long file 600s stereo: first {warm*1000:.0f} ms "
-            f"(incl. segment-plan compiles), best hot {hot*1000:.0f} ms = "
-            f"{long_s/hot:.0f}x realtime = "
-            f"{100*(long_s/hot)/ceils[i_l]:.0f}% of its adjacent "
-            f"{ceils[i_l]:.0f}x upload ceiling (runs: "
-            + " ".join(f"{long_s/h:.0f}x" for h in hots)
-            + "; multi-segment, zero recompile)",
-            file=sys.stderr,
-        )
-        del long_pcm
-    except Exception as e:
-        print(f"# long-file diagnostic failed: {e}", file=sys.stderr)
-
+    # 11 reps per metric (VERDICT r3 item 6: a rep costs ~0.3 s; more reps
+    # shrink the capture spread the relay's bandwidth phases cause)
+    runs = 11
 
     # --- timed runs, ROUND-ROBIN across the three pipelines: the relay's
     # bandwidth phases last seconds-to-minutes, so running each metric's N
@@ -246,7 +395,7 @@ def main() -> None:
         flac_ceils.append(duration_s / floor_s)
 
     best, med = min(enc_times), float(np.median(enc_times))
-    emit(
+    flagship = emit(
         "encode_realtime_factor_44k_stereo", duration_s, best, med,
         **_ceiling_fields(enc_times, enc_ceils, duration_s),
     )
@@ -272,6 +421,7 @@ def main() -> None:
     best_d, med_d = min(dec_times), float(np.median(dec_times))
     emit(
         "decode_realtime_factor_44k_stereo", duration_s, best_d, med_d,
+        key="decode",
         **_ceiling_fields(dec_times, dec_ceils, duration_s),
     )
     print(
@@ -287,6 +437,7 @@ def main() -> None:
     best_f, med_f = min(flac_times), float(np.median(flac_times))
     emit(
         "flac_export_realtime_factor_44k_stereo", duration_s, best_f, med_f,
+        key="flac",
         **_ceiling_fields(flac_times, flac_ceils, duration_s),
     )
     print(
@@ -296,11 +447,30 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # --- album encode: 4 same-bucket tracks through ONE batched device
-    # program (one upload + dispatch + download) vs the serial file loop ---
-    track = np.clip(
-        make_signal(15.0, sample_rate) * 32767.0, -32768, 32767
-    ).astype(np.int16)
+    try:
+        _album_bench(enc, dec, duration_s, sample_rate, runs)
+    except Exception as e:
+        print(f"# album bench failed: {e}", file=sys.stderr)
+
+    # --- diagnostics: device-compute-only realtime factor + roofline ---
+    try:
+        _device_compute_diagnostics(enc, dec, encoded, samples, duration_s)
+    except Exception as e:
+        print(f"# diagnostics failed: {e}", file=sys.stderr)
+
+    # THE LAST LINE (see ARTIFACT CONTRACT in the module docstring): the
+    # flagship metric re-emitted with every other metric in `summary`.
+    print(_build_final_line(flagship, SUMMARY))
+    sys.stdout.flush()
+
+
+def _album_bench(enc, dec, duration_s, sample_rate, runs) -> None:
+    """Album encode/decode: 4 same-bucket tracks through ONE batched device
+    program (encode_many / decode_many) vs the serial per-file loop the
+    reference uses (src/main.rs:545-583, src/ui.rs:317-359)."""
+    from glc_tpu import serialize_encoded
+
+    track = make_signal_i16(15.0, sample_rate)
     tracks = [(track, 2)] * 4  # 4 × 15 s = the same 60 s of audio
     enc.encode_many(tracks)  # warmup (batch program compile)
     [enc.encode_pcm16(t, c) for t, c in tracks]  # warm serial comparator
@@ -320,7 +490,7 @@ def main() -> None:
     vs = float(np.median([s_ / a for a, s_ in zip(alb_times, ser_times)]))
     emit(
         "album_encode_realtime_factor_44k_stereo", duration_s, best_a, med_a,
-        vs_serial=round(vs, 2),
+        key="album_enc", vs_serial=round(vs, 2),
     )
     print(
         f"# album 4x15s stereo: batched {best_a*1000:.1f} ms vs serial "
@@ -352,7 +522,7 @@ def main() -> None:
     vs_d = float(np.median([s_ / a for a, s_ in zip(dalb_times, dser_times)]))
     emit(
         "album_decode_realtime_factor_44k_stereo", duration_s, best_da,
-        med_da, vs_serial=round(vs_d, 2),
+        med_da, key="album_dec", vs_serial=round(vs_d, 2),
     )
     print(
         f"# album decode 4x15s stereo: batched {best_da*1000:.1f} ms vs "
@@ -360,11 +530,71 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # --- diagnostics: device-compute-only realtime factor + compaction ---
-    try:
-        _device_compute_diagnostics(enc, dec, encoded, samples, duration_s)
-    except Exception as e:
-        print(f"# diagnostics failed: {e}", file=sys.stderr)
+    # --- album at realistic track length: 4×120 s.  Each track is
+    # MULTI-segment/multi-chunk, so this exercises the multi-track
+    # pipelines at the scale the reference GUI's album export handles
+    # serially (src/ui.rs:291-402): full-depth interleaved dispatch on
+    # encode, round-robin interleaved streaming on decode (the measured-
+    # fastest defaults on a wire-bound link; the segment-batched lax.map
+    # alternative ships behind config.segmented_batch for fast
+    # interconnects — it measured 0.75-0.85× of these here). ---
+    dur120 = 480.0
+    track120 = make_signal_i16(120.0, sample_rate)
+    tracks120 = [(track120, 2)] * 4
+    reps120 = max(3, runs // 3)
+    enc.encode_many(tracks120)                        # warm segmented path
+    [enc.encode_pcm16(t, c) for t, c in tracks120]    # warm serial
+    e_t, s_t = [], []
+    for _ in range(reps120):
+        t0 = time.perf_counter()
+        many120 = [serialize_encoded(e) for e in enc.encode_many(tracks120)]
+        e_t.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        ser120 = [serialize_encoded(enc.encode_pcm16(t, c))
+                  for t, c in tracks120]
+        s_t.append(time.perf_counter() - t0)
+    assert many120 == ser120, "segmented album encode must be bit-identical"
+    vs120 = float(np.median([s_ / a for a, s_ in zip(e_t, s_t)]))
+    emit(
+        "album120_encode_realtime_factor_44k_stereo", dur120,
+        min(e_t), float(np.median(e_t)),
+        key="album120_enc", vs_serial=round(vs120, 2),
+    )
+    print(
+        f"# album 4x120s stereo: batched {min(e_t)*1000:.0f} ms vs serial "
+        f"{min(s_t)*1000:.0f} ms (median per-rep {vs120:.2f}x, "
+        f"bit-identical; "
+        + " ".join(f"{s_/a:.2f}x" for a, s_ in zip(e_t, s_t)) + ")",
+        file=sys.stderr,
+    )
+
+    eas120 = enc.encode_many(tracks120)
+    dec.decode_many(eas120)                           # warm segmented path
+    [dec.decode_i16(ea) for ea in eas120]             # warm serial
+    de_t, ds_t = [], []
+    for _ in range(reps120):
+        t0 = time.perf_counter()
+        outs_b120 = dec.decode_many(eas120)
+        de_t.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        outs_s120 = [dec.decode_i16(ea) for ea in eas120]
+        ds_t.append(time.perf_counter() - t0)
+    for ob, os_ in zip(outs_b120, outs_s120):
+        assert len(ob) == len(os_)
+        assert int(np.abs(ob.astype(np.int32)
+                          - os_.astype(np.int32)).max(initial=0)) <= 1
+    vs_d120 = float(np.median([s_ / a for a, s_ in zip(de_t, ds_t)]))
+    emit(
+        "album120_decode_realtime_factor_44k_stereo", dur120,
+        min(de_t), float(np.median(de_t)),
+        key="album120_dec", vs_serial=round(vs_d120, 2),
+    )
+    print(
+        f"# album decode 4x120s stereo: batched {min(de_t)*1000:.0f} ms vs "
+        f"serial {min(ds_t)*1000:.0f} ms (median per-rep {vs_d120:.2f}x, "
+        f"<=1 LSB)",
+        file=sys.stderr,
+    )
 
 
 def _decode_upload_bytes(dec, encoded) -> int:
@@ -429,6 +659,7 @@ def _encode_stage_attribution(enc, samples, duration_s) -> None:
 
 def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     import jax
+    import jax.numpy as jnp
 
     from glc_tpu.ops.encode import encode_interleaved_device
 
@@ -436,9 +667,8 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     max_row_nnz = int(fs.nnz.max()) if fs.nnz.size else 0
     print(
         f"# compaction: max per-(frame,channel) nnz = {max_row_nnz} "
-        f"(sort-free cumsum+scatter path; on-chip breakdown: dispatch "
-        f"~26 ms, scatter ~20 ms, MDCT+mask+quantize ~1 ms — gather/"
-        f"chunked/unique-indices variants measured neutral or worse)",
+        f"(sort-free cumsum+scatter path; gather/chunked/unique-indices "
+        f"variants measured neutral or worse)",
         file=sys.stderr,
     )
 
@@ -460,26 +690,119 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     run = lambda s: encode_interleaved_device(
         s, np.int32(0), *tables, channels=2, lead=512,
         k_frames=4096, budget=budget, pad_hops=4097, pcm16=True)
-    np.asarray(run(variants[0])[:1])  # compile
-    t0 = time.perf_counter()
-    sums = [run(s)[:1] for s in variants]
-    for s in sums:
-        np.asarray(s)
-    dt = (time.perf_counter() - t0) / len(variants)
+
+    def _forced_ms(fn) -> float:
+        """fn(v) must return SMALL final handle(s) — slices/reductions
+        taken AT DISPATCH, so the collect loop is pure downloads.  (A slice
+        issued at collect time is a fresh dispatch and serializes ~29 ms of
+        relay latency per call — measured, and it inflated an early r4
+        capture by exactly that.)  With 8 pipelined calls this measures
+        max(program time, per-call relay gap)."""
+        np.asarray(fn(variants[0]))  # compile
+        t0 = time.perf_counter()
+        hs = [fn(v) for v in variants]
+        for h in hs:
+            np.asarray(h)
+        return (time.perf_counter() - t0) / len(variants) * 1000.0
+
+    @jax.jit
+    def _tiny(x):
+        return x[:1].astype(jnp.int32).sum()
+
+    overhead_ms = _forced_ms(_tiny)        # the relay's per-call floor
+    full_ms = _forced_ms(lambda v: run(v)[:1])
+
+    # --- roofline split (VERDICT r3 item 5) via in-program repetition
+    # SLOPES: the relay's ~29 ms per-call floor (overhead_ms) swamps any
+    # single-shot probe of a sub-30 ms op, so each op runs N times inside
+    # ONE jitted fori_loop and the marginal cost (t[N=9] − t[N=1]) / 8 is
+    # the on-chip time.  scatter = _compact_pairs on the real encoded q
+    # (+ its ~1 ms perturb/reduce); mdct = the 43-GFLOP einsum (+ its
+    # <0.5 ms consuming reduction — a sliced output would let XLA shrink
+    # the very dot being timed).  Driver-visible JSON so "scatter-bound,
+    # accepted" is a recorded measurement and an XLA scatter regression
+    # shows up in the BENCH artifact.
+    from functools import partial as _partial
+
+    from glc_tpu.ops.encode import (
+        _compact_pairs,
+        _planarize_device,
+        encode_interleaved_dense_device,
+        frames_from_signal,
+    )
+    from glc_tpu.ops.mdct import mdct as mdct_op
+
+    dkw = dict(channels=2, lead=512, k_frames=4096, pad_hops=4097,
+               pcm16=True)
+    q_d, nnz_d, _s_d, _u_d = encode_interleaved_dense_device(
+        variants[0], np.int32(0), *tables, **dkw)
+    jax.block_until_ready(q_d)
+
+    @_partial(jax.jit, static_argnames=("reps",))
+    def scatter_slope(q, nnz, i0, *, reps):
+        def body(i, acc):
+            # perturb kept values so nothing hoists out of the loop; the
+            # keep mask stays (almost) fixed, so the scatter workload does
+            qq = jnp.where(q != jnp.int16(0),
+                           q + (i & 1).astype(jnp.int16), q)
+            p = _compact_pairs(qq, nnz, 1024, budget)
+            return acc + p.astype(jnp.int64).sum()
+        return jax.lax.fori_loop(i0, i0 + reps, body, jnp.int64(0))
+
+    @_partial(jax.jit, static_argnames=("reps",))
+    def mdct_slope(x, i0, *, reps):
+        xf = (_planarize_device(x, 2, 512, 1024, 4097)
+              .astype(jnp.float32) / np.float32(32768.0))
+        blocks = frames_from_signal(xf, 1024) * tb.window
+
+        def body(i, acc):
+            c = mdct_op(blocks + i.astype(jnp.float32) * np.float32(1e-9),
+                        tb.cos_table, tb.norm)
+            return acc + c.sum()
+        return jax.lax.fori_loop(i0, i0 + reps, body, jnp.float32(0))
+
+    _i0 = [0]
+
+    def _timed_call(build, reps) -> float:
+        _i0[0] += 7                        # distinct args defeat memoization
+        t0 = time.perf_counter()
+        np.asarray(build(np.int32(_i0[0]), reps))
+        return (time.perf_counter() - t0) * 1000.0
+
+    def _slope(build, lo=1, hi=9) -> float:
+        _timed_call(build, lo)             # compile both shapes
+        _timed_call(build, hi)
+        t_lo = min(_timed_call(build, lo) for _ in range(2))
+        t_hi = min(_timed_call(build, hi) for _ in range(2))
+        return max((t_hi - t_lo) / (hi - lo), 0.0)
+
+    scatter_ms = _slope(
+        lambda i0, r: scatter_slope(q_d, nnz_d, i0, reps=r))
+    mdct_ms = _slope(lambda i0, r: mdct_slope(variants[0], i0, reps=r))
+
+    dt = full_ms / 1000.0
+    enc_x = duration_s / dt
     print(
         json.dumps(
             {
                 "metric": "encode_device_compute_realtime_factor_44k_stereo",
-                "value": round(duration_s / dt, 1),
+                "value": round(enc_x, 1),
                 "unit": "x_realtime",
-                "vs_baseline": round(duration_s / dt / 500.0, 3),
+                "vs_baseline": round(enc_x / 500.0, 3),
+                "scatter_ms": round(scatter_ms, 1),
+                "mdct_ms": round(mdct_ms, 2),
+                "overhead_ms": round(overhead_ms, 1),
             }
         )
     )
     print(
         f"# device-compute-only (forced, incl. dispatch+1-int download):"
-        f" {dt*1000:.2f} ms for {duration_s:.0f}s "
-        f"stereo = {duration_s/dt:.0f}x realtime on-chip",
+        f" {full_ms:.2f} ms for {duration_s:.0f}s stereo = "
+        f"{enc_x:.0f}x realtime on-chip (per-call relay floor "
+        f"{overhead_ms:.1f} ms); roofline slopes: compaction scatter "
+        f"{scatter_ms:.1f} ms/rep, MDCT einsum {mdct_ms:.2f} ms/rep — "
+        f"the program is scatter-bound, the MXU math is "
+        f"~{100*mdct_ms/max(full_ms,1e-9):.0f}% of it",
         file=sys.stderr,
     )
 
@@ -521,14 +844,23 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     outs = [drun(w)[0][:1] for w in carries]
     for o in outs:
         np.asarray(o)
-    dt = (time.perf_counter() - t0) / len(carries)
+    ddt = (time.perf_counter() - t0) / len(carries)
+    dec_x = duration_s / ddt
     print(
-        f"# decode device-compute-only (forced): {dt*1000:.2f} ms for "
-        f"{duration_s:.0f}s stereo = {duration_s/dt:.0f}x realtime "
+        f"# decode device-compute-only (forced): {ddt*1000:.2f} ms for "
+        f"{duration_s:.0f}s stereo = {dec_x:.0f}x realtime "
         f"on-chip",
         file=sys.stderr,
     )
+    SUMMARY["dev"] = {
+        "enc_x": round(enc_x, 0), "dec_x": round(dec_x, 0),
+        "scatter_ms": round(scatter_ms, 1), "mdct_ms": round(mdct_ms, 2),
+        "overhead_ms": round(overhead_ms, 1),
+    }
 
 
 if __name__ == "__main__":
-    main()
+    if "--longfile-child" in sys.argv:
+        longfile_child()
+    else:
+        main()

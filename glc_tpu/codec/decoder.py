@@ -37,15 +37,16 @@ ProgressSender = Callable[[Progress], None]
 _zero_carry_cache: dict = {}
 
 
-def _zero_carry_device(C: int, n: int):
-    """Device-resident zero [C, n] f32 carry, cached per shape: every decode
-    starts from silence, and uploading the same 8 KB of zeros costs ~25 ms
-    of per-transfer latency on this relay.  jax arrays are immutable, so one
-    cached buffer serves every decode."""
-    key = (C, n)
+def _zero_carry_device(C: int, n: int, batch: Optional[int] = None):
+    """Device-resident zero [C, n] (or [batch, C, n]) f32 carry, cached per
+    shape: every decode starts from silence, and uploading the same 8 KB of
+    zeros costs ~25 ms of per-transfer latency on this relay.  jax arrays
+    are immutable, so one cached buffer serves every decode."""
+    key = (batch, C, n)
     buf = _zero_carry_cache.get(key)
     if buf is None:
-        buf = jax.device_put(np.zeros((C, n), np.float32))
+        shape = (C, n) if batch is None else (batch, C, n)
+        buf = jax.device_put(np.zeros(shape, np.float32))
         _zero_carry_cache[key] = buf
     return buf
 
@@ -82,7 +83,8 @@ def _gather_pieces(pieces) -> np.ndarray:
 
 
 def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
-                   reference_compat: bool = True):
+                   reference_compat: bool = True,
+                   force_budget: int = 0, force_rbudget: int = 0):
     """Packed upload payload for frames [start, start+count) of a K-frame
     chunk (count ≤ K; the rest is padding).
 
@@ -94,6 +96,12 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     layout is read back *interleaved* (sample_idx = i*channels + ch,
     reference src/codec.rs:636) even though the encoder stored it
     channel-major — quirk Q13, reproduced for parity.
+
+    `force_budget`/`force_rbudget` (> 0) override the ladder-derived
+    sizes: the segment-batched multi-track path needs every track's chunk
+    buffer in a batch to share ONE layout, so it forces the batch maxima.
+    Forcing smaller than this chunk's own pair/raw count is an error
+    (caught by the existing budget check below).
     """
     C = fs.channels
     frame_size = fs.frame_size
@@ -136,7 +144,7 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     # ladder-bucketed upload shapes, capped at the dense maximum — keeps
     # the set of compiled decode programs small while wasting ≤6.25% of the
     # pairs upload (these are link bytes; pow2 wasted up to 2×)
-    budget = min(len_bucket(P, 5), K * C * n)
+    budget = force_budget or min(len_bucket(P, 5), K * C * n)
     if P > budget:
         # Post-dedup, each row holds ≤ n+1 distinct slots (n in-range plus
         # one OOB slot), so a malformed stream can exceed the dense budget
@@ -150,7 +158,11 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     R = int(is_raw_v.sum())
     # raw rows are the widest upload records (C·frame_size i16 each), so
     # they get the 4-bit ladder too (floor 16, ≤12.5% overshoot)
-    rbudget = min(len_bucket(R, 4), K) if R else 0
+    rbudget = force_rbudget or (min(len_bucket(R, 4), K) if R else 0)
+    if R > rbudget:
+        raise ValueError(
+            f"{R} raw frames exceed the forced raw budget {rbudget}"
+        )
     base = budget + (K * C) // 2 + K * C + K
     raw_sec = rbudget + rbudget * C * frame_size // 2
     words = np.empty(base + raw_sec, np.int32)
@@ -176,7 +188,7 @@ def _packed_slices(fs: FrameSet, start: int, count: int, K: int, n: int,
     flag_sec[:count] = is_raw_v
     flag_sec[count:] = 0
 
-    if R == 0:
+    if rbudget == 0:
         return words, budget, 0
 
     raw_words = words[base:]
@@ -544,10 +556,18 @@ class Decoder:
         upload, one dispatch, one download for the whole group.  Singleton
         groups dispatch the single-track packed program on the same
         already-built buffer (no re-packing), so every single-chunk track's
-        transfers overlap the others'; only multi-chunk tracks fall back to
-        `decode_i16`.  Per-track output equals `decode_i16` within 1 LSB
-        (the batched program is the same traced body under lax.map; XLA may
-        fuse the IMDCT chain differently).
+        transfers overlap the others'.  MULTI-chunk tracks (anything past
+        decode_chunk_frames ≈ 95 s at 44.1 kHz) stream ROUND-ROBIN through
+        interleaved decode_i16_stream generators
+        (`_decode_streaming_interleaved`, the measured-fastest path on a
+        wire-bound link) — or, with config.segmented_batch=True, batch at
+        SEGMENT level: chunk s of every track in one dispatch, per-track
+        overlap carries chained exactly as the serial path chains them
+        (`_decode_segmented_group`, for fast-interconnect deployments).
+        Per-track output equals `decode_i16` within 1 LSB — bit-identical
+        on the default path (it IS decode_i16's generator); the batched
+        programs are the same traced body under lax.map, where XLA may
+        fuse the IMDCT chain differently.
         """
         cfg = self.config
         n = cfg.n
@@ -556,13 +576,17 @@ class Decoder:
         results: list = [None] * len(encoded_list)
 
         groups: dict = {}
+        multis: dict = {}
         fallbacks: list = []
         for i, ea in enumerate(encoded_list):
             C = ea.header.channels
             F = ea.frame_set.num_frames
             chunk = chunk_size_for(max(F, 1), cfg.decode_chunk_frames)
-            if F == 0 or F > chunk:
+            if F == 0:
                 fallbacks.append((i, ea))
+                continue
+            if F > chunk:
+                multis.setdefault((C, chunk), []).append((i, ea, F))
                 continue
             words, budget, rbudget = _packed_slices(
                 ea.frame_set, 0, F, chunk, n, cfg.reference_compat
@@ -604,21 +628,169 @@ class Decoder:
             # flipping batched-vs-serial from 1.3× to 0.9×)
             for b, (i, ea, F, _w) in enumerate(recs):
                 rows = prefix_rows(F + 1, chunk + 1)
+                # pieced (≤1024-row) async copies, not one big transfer:
+                # the relay's sustained single-transfer rate collapses far
+                # below its burst rate (same reason decode_i16 pieces)
                 handles.append(
-                    (i, ea, F, C, start_host_copy(hops_d[b, :rows]))
+                    (i, ea, F, C, _piece_download(hops_d[b], rows))
                 )
 
-        # multi-chunk fallbacks run while the dispatched downloads drain
+        # multi-chunk tracks run while the single-chunk downloads drain
+        # (their own dispatches/downloads pipeline inside)
+        if multis:
+            if cfg.segmented_batch:
+                for (C, chunk), recs in multis.items():
+                    self._decode_segmented_group(
+                        recs, results, C=C, chunk=chunk
+                    )
+            else:
+                flat = sorted(
+                    (i, ea) for recs in multis.values()
+                    for i, ea, _F in recs
+                )
+                self._decode_streaming_interleaved(flat, results)
+
+        # empty tracks (F == 0) decode through the stream path
         for i, ea in fallbacks:
             results[i] = self.decode_i16(ea)
 
-        for i, ea, F, C, pref in handles:
-            flat = np.asarray(pref)[: F + 1].reshape(-1)  # F hops + tail
+        for i, ea, F, C, pieces in handles:
+            flat = _gather_pieces(pieces)[: F + 1].reshape(-1)  # hops + tail
             # copy: the trim is a view into the track's download buffer
             results[i] = gapless_trim(
                 flat, ea.gapless_info, C, cfg.reference_compat
             ).copy()
         return results
+
+    def _decode_streaming_interleaved(self, recs, results) -> None:
+        """Multi-chunk tracks, DEFAULT path: drive every track's
+        `decode_i16_stream` generator round-robin, so all tracks' chunk
+        dispatches and pieced downloads share the wire with no
+        track-boundary drain (the serial loop stalls the wire while each
+        track's last in-flight chunks collect; the reference decodes
+        album tracks strictly serially, src/ui.rs:317-359).
+
+        Measured on the relay at 4×120 s: ~1.2× vs the serial loop, while
+        the segment-batched lax.map alternative (`segmented_batch=True`)
+        measured 0.75-0.8× — decode is download-wire-bound, so keeping
+        the wire saturated beats reducing dispatch count.  Each track's
+        output is BIT-identical to `decode_i16` (same generator).  Active
+        generators are capped to bound in-flight device+host buffers.
+        """
+        parts: dict = {i: [] for i, _ in recs}
+        active = [(i, self.decode_i16_stream(ea)) for i, ea in recs[:4]]
+        waiting = list(recs[4:])
+        while active:
+            nxt = []
+            for i, g in active:
+                chunk = next(g, None)
+                if chunk is None:
+                    if waiting:
+                        j, ea = waiting.pop(0)
+                        nxt.append((j, self.decode_i16_stream(ea)))
+                else:
+                    parts[i].append(chunk)
+                    nxt.append((i, g))
+            active = nxt
+        for i, _ in recs:
+            results[i] = (
+                np.concatenate(parts[i]) if parts[i]
+                else np.empty(0, np.int16)
+            )
+
+    def _decode_segmented_group(self, recs, results, *, C, chunk) -> None:
+        """Segment-level batched decode of multi-chunk tracks
+        (config.segmented_batch=True — see that knob's docstring for when;
+        the serial loop this replaces is the GUI album decode, reference
+        src/ui.rs:317-359).
+
+        Chunk s of every track in `recs` runs as ONE batched dispatch
+        (decode_chunks_packed_batch_carry_device) with the [B, C, n]
+        overlap-carry tensor chained device-side between segments — one
+        upload + one dispatch per segment index instead of per (track,
+        segment).  Every track's chunk buffer in a segment batch is forced
+        to the batch-max (budget, rbudget) layout so the [B, W] stack is
+        possible; the overshoot is bounded by the 5-bit ladder spread
+        across same-album tracks.  Tracks shorter than the group's longest
+        ride the tail segments with valid=0 and no download.  Fills
+        results[i] with gapless-trimmed int16 per track (≤1 LSB vs
+        decode_i16, the cross-program contract).
+        """
+        from ..ops.decode import decode_chunks_packed_batch_carry_device
+
+        cfg = self.config
+        n = cfg.n
+        tb = self._tables
+        window_raw = not cfg.reference_compat
+        B = len(recs)
+        Fs = [F for _i, _ea, F in recs]
+        n_chunks = [-(-F // chunk) for F in Fs]
+        S = max(n_chunks)
+        carries = _zero_carry_device(C, n, batch=B)
+        parts: list = [[] for _ in range(B)]
+        pending: list = []
+
+        def collect(handles) -> None:
+            for b, valid, last, pieces in handles:
+                need = valid + 1 if last else valid
+                parts[b].append(_gather_pieces(pieces)[:need].reshape(-1))
+
+        for s in range(S):
+            start = s * chunk
+            valids = [min(max(F - start, 0), chunk) for F in Fs]
+            # batch-max upload layout (see docstring)
+            fb, frb = 1, 0
+            for b, (_i, ea, _F) in enumerate(recs):
+                if valids[b] == 0:
+                    continue
+                fsb = ea.frame_set
+                P = int(fsb.nnz[start : start + valids[b]].sum())
+                R = int(np.count_nonzero(
+                    fsb.raw_mask[start : start + valids[b]]))
+                fb = max(fb, min(len_bucket(P, 5), chunk * C * n))
+                if R:
+                    frb = max(frb, min(len_bucket(R, 4), chunk))
+            words_b = np.stack([
+                _packed_slices(
+                    ea.frame_set, min(start, F), valids[b], chunk, n,
+                    cfg.reference_compat,
+                    force_budget=fb, force_rbudget=frb,
+                )[0]
+                for b, (_i, ea, F) in enumerate(recs)
+            ])
+            hops_b, carries = decode_chunks_packed_batch_carry_device(
+                jax.device_put(words_b),
+                carries,
+                jax.device_put(np.asarray(valids, np.int32)),
+                tb.cos_table, tb.window, tb.norm,
+                K=chunk, C=C, n=n, budget=fb, rbudget=frb,
+                max_q=cfg.max_q, window_raw=window_raw,
+                use_pallas=cfg.use_pallas,
+                out_i16=True, out_interleave=True, append_carry=True,
+            )
+            handles = []
+            for b in range(B):
+                if valids[b] == 0:
+                    continue
+                last = s == n_chunks[b] - 1
+                rows = prefix_rows(valids[b] + (1 if last else 0), chunk + 1)
+                # pieced async copies — see the single-chunk path's note
+                handles.append(
+                    (b, valids[b], last, _piece_download(hops_b[b], rows))
+                )
+            pending.append(handles)
+            # bound live device/host buffers while keeping the pipeline deep
+            if len(pending) > 2:
+                collect(pending.pop(0))
+
+        for handles in pending:
+            collect(handles)
+
+        for b, (i, ea, _F) in enumerate(recs):
+            flat = np.concatenate(parts[b])
+            results[i] = gapless_trim(
+                flat, ea.gapless_info, C, cfg.reference_compat
+            ).copy()
 
     # --- synchronous decode + gapless trim (codec.rs:744-768) ---
 

@@ -215,6 +215,45 @@ def zero_extend(padded: np.ndarray, need: int) -> np.ndarray:
     return ext
 
 
+def parse_segment_download(first: np.ndarray, out_d, *, k: int, valid: int,
+                           C: int, budget: int, cut0: int):
+    """Parse one packed encode-segment download (the [k·(2C+1) + budget]
+    layout of encode_interleaved_device): per-frame stats plus the
+    adaptively-fetched packed pairs.  Shared by the solo, single-segment
+    batch, and segment-batched collect paths so the stream parsing can
+    never diverge between them.
+
+    Returns (nnz [k, C] int64, scales view [k, C] f32, use_raw [k] bool,
+    wanted, pairs-or-None): `wanted` counts the valid frames' pairs (the
+    stream is frame-ordered, so they occupy the first `wanted` packed
+    slots regardless of bucket-padding frames after them); pairs is None
+    when wanted > budget — the caller must re-run that segment through the
+    dense fallback program.
+    """
+    stats_width = 2 * C + 1
+    S = k * stats_width
+    stats = first[:S].reshape(k, stats_width)
+    nnz = stats[:, :C].astype(np.int64)
+    scale = stats[:, C : 2 * C].view(np.float32)
+    use_raw = stats[:, 2 * C] != 0
+    wanted = int(nnz[:valid].sum())
+    if wanted == 0:
+        pairs = np.empty(0, PAIR_DTYPE)
+    elif wanted <= budget:
+        if wanted > cut0:
+            cut = min(_len_bucket(wanted, 5), budget)
+            tail = np.asarray(out_d[S + cut0 : S + cut])
+            packed = np.concatenate([first[S:], tail])[:wanted]
+        else:
+            packed = first[S : S + wanted]
+        pairs = np.empty(wanted, PAIR_DTYPE)
+        pairs["k"] = (packed >> 16).astype(np.uint16)
+        pairs["q"] = (packed & 0xFFFF).astype(np.uint16).view(np.int16)
+    else:
+        pairs = None
+    return nnz, scale, use_raw, wanted, pairs
+
+
 class Encoder:
     """reference src/codec.rs:396-418.
 
@@ -273,9 +312,15 @@ class Encoder:
         (`encode_interleaved_batch_device`): one upload, one dispatch, one download for the whole
         group — on a link with high per-transfer latency this beats the
         reference's serial file loop (src/main.rs:545-583) by amortizing
-        every fixed cost over the group.  Tracks that don't batch (odd
-        lengths, multi-segment) fall back to the pipelined per-file path,
-        whose uploads overlap the previous file's compute+download.
+        every fixed cost over the group.  MULTI-segment tracks (anything
+        past encode_chunk_frames ≈ 95 s at 44.1 kHz) pipeline at FULL
+        depth instead — every track dispatched before any finishes, so
+        uploads, device compute, and downloads of different tracks share
+        the wire continuously (~1.2× vs serial at 4×120 s, measured) —
+        or, with config.segmented_batch=True, batch every same-shape
+        segment across tracks in one dispatch
+        (`_encode_segmented_group`, for fast-interconnect deployments).
+        Lone single-segment leftovers take the pipelined per-file path.
         """
         from ..profiling import maybe_trace
 
@@ -304,7 +349,11 @@ class Encoder:
         # Group batchable (single-segment) tracks by program signature,
         # using the same upload_geometry as the serial path so batch
         # membership can never disagree with what a solo encode would do.
+        # Multi-segment tracks cluster by (channels, dtype): clusters of ≥2
+        # batch at SEGMENT level (_encode_segmented_group, VERDICT r3
+        # item 4); singletons take the pipelined solo path.
         groups: dict = {}
+        multis: dict = {}
         solos: list = []
         for i, (samples, C, pcm16) in enumerate(prepped):
             if len(samples) == 0:
@@ -319,7 +368,12 @@ class Encoder:
                     (i, samples, F, padding)
                 )
             else:
-                solos.append((i, samples, C, pcm16))
+                multis.setdefault((C, pcm16), []).append((i, samples))
+        for key, recs in list(multis.items()):
+            if len(recs) == 1:
+                C, pcm16 = key
+                solos.append((recs[0][0], recs[0][1], C, pcm16))
+                del multis[key]
 
         results: list = [None] * len(prepped)
 
@@ -346,6 +400,57 @@ class Encoder:
                     recs[off : off + cap], results, C=C, pcm16=pcm16,
                     K=K, Tb=Tb, need_hops=need_hops,
                 )
+
+        # Multi-segment clusters.  DEFAULT: full-depth interleaved
+        # dispatch — every track's upload+segments dispatched before any
+        # track finishes, so each track's downloads drain while later
+        # tracks upload (measured at 4×120 s on the relay: ~1.2× vs the
+        # serial loop and ~1.25× vs the stacked segment-batch below —
+        # encode is upload-wire-bound, so wire saturation beats dispatch
+        # amortization; STATUS.md r4).  In-flight resident signals are
+        # bytes-bounded.  config.segmented_batch=True instead batches
+        # every same-shape segment across tracks in one dispatch
+        # (fast-interconnect deployments).  Both are bit-identical to
+        # per-file encodes.
+        if multis and not cfg.segmented_batch:
+            mflat = sorted(
+                (i, samples, C, pcm16)
+                for (C, pcm16), recs in multis.items()
+                for i, samples in recs
+            )
+            inflight: list = []  # (index, finish, resident bytes)
+            live = 0
+            for i, samples, C, pcm16 in mflat:
+                inflight.append(
+                    (i, self._dispatch_encode(samples, C, pcm16=pcm16),
+                     samples.nbytes)
+                )
+                live += samples.nbytes
+                while (live > self._MAX_BATCH_BLOCK_BYTES
+                       and len(inflight) > 1):
+                    j, fin, nb = inflight.pop(0)
+                    results[j] = fin()
+                    live -= nb
+            for j, fin, _nb in inflight:
+                results[j] = fin()
+        elif multis:
+            for (C, pcm16), recs in multis.items():
+                itemsize = 2 if pcm16 else 4
+                max_len = max(len(s) for _i, s in recs)
+                cap = max(
+                    2, self._MAX_BATCH_BLOCK_BYTES // (max_len * itemsize)
+                )
+                for off in range(0, len(recs), cap):
+                    part = recs[off : off + cap]
+                    if len(part) == 1:
+                        i, samples = part[0]
+                        results[i] = self._dispatch_encode(
+                            samples, C, pcm16=pcm16
+                        )()
+                    else:
+                        self._encode_segmented_group(
+                            part, results, C=C, pcm16=pcm16
+                        )
 
         for j, finish in finishers:
             results[j] = finish()
@@ -403,26 +508,16 @@ class Encoder:
         max_wanted = 1
         for j, (i, samples, F, padding) in enumerate(recs):
             total_samples = len(samples)
-            stats = firsts[j][:S].reshape(K, stats_width)
-            nnz = stats[:F, :C].astype(np.int64)
-            scales = stats[:F, C : 2 * C].view(np.float32).copy()
-            use_raw = stats[:F, 2 * C] != 0
-            wanted = int(nnz.sum())
+            nnz, scale_v, use_raw_v, wanted, pairs = parse_segment_download(
+                firsts[j], out_d[j], k=K, valid=F, C=C, budget=budget,
+                cut0=cut0,
+            )
+            nnz = nnz[:F]
+            scales = scale_v[:F].copy()
+            use_raw = use_raw_v[:F]
             max_wanted = max(max_wanted, wanted)
 
-            if wanted > 0 and wanted <= budget:
-                if wanted > cut0:
-                    cut = min(_len_bucket(wanted, 5), budget)
-                    tail = np.asarray(out_d[j, S + cut0 : S + cut])
-                    packed = np.concatenate([firsts[j][S:], tail])[:wanted]
-                else:
-                    packed = firsts[j][S : S + wanted]
-                pairs = np.empty(wanted, PAIR_DTYPE)
-                pairs["k"] = (packed >> 16).astype(np.uint16)
-                pairs["q"] = (packed & 0xFFFF).astype(np.uint16).view(
-                    np.int16
-                )
-            elif wanted > budget:
+            if pairs is None:
                 # dense fallback, per track (atypically dense content)
                 q_d, nnz2_d, scale2_d, use_raw2_d = (
                     encode_interleaved_dense_device(
@@ -440,8 +535,6 @@ class Encoder:
                 pairs = np.empty(len(kpos), PAIR_DTYPE)
                 pairs["k"] = kpos.astype(np.uint16)
                 pairs["q"] = q_np[fidx, cidx, kpos]
-            else:
-                pairs = np.empty(0, PAIR_DTYPE)
 
             if use_raw.any():
                 ridx = np.flatnonzero(use_raw).astype(np.int32)
@@ -470,6 +563,181 @@ class Encoder:
             )
 
         self._pair_guess[(C, K)] = max_wanted + max_wanted // 4 + 1
+
+    def _encode_segmented_group(self, recs, results, *, C, pcm16) -> None:
+        """Segment-level batched encode of multi-segment tracks
+        (config.segmented_batch=True — see that knob's docstring for when;
+        the serial file loop this replaces is reference
+        src/main.rs:545-583).
+
+        Each track's interleaved buffer uploads ONCE, ladder-bucketed to
+        its OWN length, then stacks into a [B, L_max] resident batch on
+        device (stack_padded_device — the padding zeros never cross the
+        link).  All (track, segment) units sharing a segment shape k run as
+        ONE encode_interleaved_units_device dispatch with per-unit adaptive
+        async downloads, so a realistic 3-5 min album costs
+        #distinct-shapes dispatches instead of #tracks × #segments.  The
+        per-unit body is the solo segment program, so every track's
+        container is bit-identical to a per-file `encode`/`encode_pcm16`
+        call — the encode_many contract (tests pin this for heterogeneous
+        lengths too).
+        """
+        from ..ops.decode import take_prefix_device
+        from ..ops.encode import (
+            encode_interleaved_units_device,
+            stack_padded_device,
+        )
+
+        cfg = self.config
+        hop, frame_size, n = cfg.hop_size, cfg.frame_size, cfg.n
+        lead = hop // 2
+        tb = self._tables
+        tables = tuple(tb)
+        dtype = np.int16 if pcm16 else np.float32
+        B = len(recs)
+
+        geos = []    # (i, samples, F, padding, plan)
+        xdevs = []
+        need_max = 0
+        for i, samples in recs:
+            _T, F, padding, plan, need_hops, Tb = upload_geometry(
+                len(samples), C, cfg
+            )
+            geos.append((i, samples, F, padding, plan))
+            need_max = max(need_max, need_hops)
+            xdevs.append(
+                upload_resident(
+                    bucket_upload(samples, len(samples), Tb, C, dtype)
+                )
+            )
+        L_max = max(x.shape[0] for x in xdevs)
+        xb_dev = stack_padded_device(*xdevs, L=L_max)
+        del xdevs
+
+        params = dict(
+            pcm16=pcm16,
+            quality=cfg.quality_factor,
+            noise_floor_db=cfg.noise_floor_db,
+            compression_threshold=cfg.compression_threshold,
+            max_q=cfg.max_q,
+            pad_hops=need_max,
+            channels=C,
+            lead=lead,
+        )
+
+        units_by_k: dict = {}
+        for j, (_i, _s, F, _p, plan) in enumerate(geos):
+            for start, k in plan:
+                units_by_k.setdefault(k, []).append(
+                    (j, start, min(k, F - start))
+                )
+
+        # dispatch every shape group before collecting anything, so all
+        # downloads pipeline on the link
+        dispatched = []
+        for k, units in units_by_k.items():
+            budget = max(k * C * n // 8, 1 << 14)
+            guess = self._pair_guess.get((C, k), max(budget // 8, 1 << 14))
+            cut0 = min(_len_bucket(guess, 5), budget)
+            S = k * (2 * C + 1)
+            if len(units) == 1:
+                j, start, _valid = units[0]
+                out_d = encode_interleaved_device(
+                    xb_dev[j], np.int32(start), *tables,
+                    k_frames=k, budget=budget, **params
+                )[None]
+            else:
+                out_d = encode_interleaved_units_device(
+                    xb_dev,
+                    np.asarray([u[0] for u in units], np.int32),
+                    np.asarray([u[1] for u in units], np.int32),
+                    *tables, k_frames=k, budget=budget, **params
+                )
+            slices = [
+                start_host_copy(out_d[u, : S + cut0])
+                for u in range(len(units))
+            ]
+            dispatched.append((k, budget, units, out_d, slices, cut0))
+
+        # collect per unit into per-track (start → parsed segment) maps
+        per_track: list = [dict() for _ in range(B)]
+        for k, budget, units, out_d, slices, cut0 in dispatched:
+            max_wanted = 1
+            for u, (j, start, valid) in enumerate(units):
+                first = np.asarray(slices[u])
+                nnz, scale, use_raw, wanted, pairs = parse_segment_download(
+                    first, out_d[u], k=k, valid=valid, C=C, budget=budget,
+                    cut0=cut0,
+                )
+                max_wanted = max(max_wanted, wanted)
+                if pairs is None:
+                    # dense fallback for an atypically dense segment: a
+                    # DIFFERENT compiled program whose keep-gate can differ
+                    # by ±1 ulp, so nnz/scales/use_raw come from it too
+                    # (same rule as the solo path)
+                    q_d, nnz2_d, scale2_d, use_raw2_d = (
+                        encode_interleaved_dense_device(
+                            xb_dev[j], np.int32(start), *tables,
+                            k_frames=k, **params
+                        )
+                    )
+                    q_np = np.asarray(take_prefix_device(q_d, valid))[:valid]
+                    nnz = np.asarray(nnz2_d)
+                    scale = np.asarray(scale2_d)
+                    use_raw = np.asarray(use_raw2_d)
+                    fidx, cidx, kpos = np.nonzero(q_np)
+                    pairs = np.empty(len(kpos), PAIR_DTYPE)
+                    pairs["k"] = kpos.astype(np.uint16)
+                    pairs["q"] = q_np[fidx, cidx, kpos]
+                per_track[j][start] = (
+                    nnz[:valid], scale[:valid], use_raw[:valid], pairs
+                )
+            self._pair_guess[(C, k)] = max_wanted + max_wanted // 4 + 1
+
+        # assemble each track's container (+ one raw gather per track)
+        for j, (i, samples, F, padding, plan) in enumerate(geos):
+            nnz_all = np.empty((F, C), np.int64)
+            scales_all = np.empty((F, C), np.float32)
+            raw_mask_all = np.empty(F, bool)
+            pair_parts = []
+            for start, _k in plan:  # ascending start → stream order
+                valid = min(_k, F - start)
+                nnz, scale, use_raw, pairs = per_track[j][start]
+                nnz_all[start : start + valid] = nnz
+                scales_all[start : start + valid] = scale
+                raw_mask_all[start : start + valid] = use_raw
+                if len(pairs):
+                    pair_parts.append(pairs)
+            pairs_all = (
+                np.concatenate(pair_parts) if pair_parts
+                else np.empty(0, PAIR_DTYPE)
+            )
+            if raw_mask_all.any():
+                ridx = np.flatnonzero(raw_mask_all).astype(np.int32)
+                rbudget = min(_len_bucket(len(ridx), 4), _len_bucket(F, 4))
+                idx_pad = np.zeros(rbudget, np.int32)
+                idx_pad[: len(ridx)] = ridx
+                rows = np.asarray(
+                    gather_raw_interleaved_device(
+                        xb_dev[j], idx_pad, tb.window,
+                        channels=C, lead=lead, pad_hops=need_max,
+                        pcm16=pcm16)
+                )[: len(ridx)]
+                raw_all = rows.reshape(-1, C * frame_size)
+            else:
+                raw_all = np.empty((0, C * frame_size), np.int16)
+
+            fs = FrameSet(nnz_all, pairs_all, scales_all, raw_mask_all,
+                          raw_all, frame_size)
+            results[i] = EncodedAudio(
+                header=AudioHeader(self.sample_rate, C, len(samples)),
+                frame_set=fs,
+                gapless_info=GaplessInfo(
+                    encoder_delay=hop // 2,
+                    padding=padding,
+                    original_length=len(samples),
+                ),
+            )
 
     def _dispatch_encode(self, samples, channels: int, *, pcm16: bool):
         cfg = self.config
@@ -541,40 +809,28 @@ class Encoder:
 
         def collect(rec):
             start, valid, k, out_d, sliced, cut0, budget = rec
-            S = k * stats_width
             first = np.asarray(sliced)
-            stats = first[:S].reshape(k, stats_width)
-            nnz = stats[:, :C].astype(np.int64)
-            scale = stats[:, C : 2 * C].view(np.float32)
-            use_raw = stats[:, 2 * C] != 0
-
             # The stream is frame-ordered, so the valid frames' pairs occupy
             # exactly the first `wanted` slots of the packed array — intact
             # as long as wanted ≤ budget, regardless of what bucket-padding
             # frames (which can include real end-of-file samples in frame F)
             # appended after them.  The overflow decision therefore uses
-            # `wanted`, not the whole-segment total.
-            wanted = int(nnz[:valid].sum())
+            # `wanted`, not the whole-segment total
+            # (parse_segment_download counts nnz[:valid] only).
+            nnz, scale, use_raw, wanted, pairs = parse_segment_download(
+                first, out_d, k=k, valid=valid, C=C, budget=budget,
+                cut0=cut0,
+            )
             self._pair_guess[(C, k)] = wanted + wanted // 4 + 1
 
             nnz_all[start : start + valid] = nnz[:valid]
             scales_all[start : start + valid] = scale[:valid]
             raw_mask_all[start : start + valid] = use_raw[:valid]
 
-            if wanted > 0 and wanted <= budget:
-                if wanted > cut0:
-                    cut = min(_len_bucket(wanted, 5), budget)
-                    tail = np.asarray(out_d[S + cut0 : S + cut])
-                    packed = np.concatenate([first[S:], tail])[:wanted]
-                else:
-                    packed = first[S : S + wanted]
-                pairs = np.empty(wanted, PAIR_DTYPE)
-                pairs["k"] = (packed >> 16).astype(np.uint16)
-                pairs["q"] = (packed & 0xFFFF).astype(np.uint16).view(
-                    np.int16
-                )
-                pair_parts.append(pairs)
-            elif wanted > budget:
+            if pairs is not None:
+                if wanted:
+                    pair_parts.append(pairs)
+            else:
                 # Dense fallback for atypically dense segments.  It is a
                 # DIFFERENT compiled program, whose keep-gate can differ by
                 # ±1 ulp from the compacting program's — so nnz/scales/

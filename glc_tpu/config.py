@@ -54,6 +54,20 @@ class CodecConfig:
     # determinism of f32 decode output across code paths wins by default.
     use_pallas: bool = False
 
+    # Segment-batched album paths for MULTI-segment tracks
+    # (encode_interleaved_units_device / decode_chunks_packed_batch_carry_
+    # device): every same-shape segment of every track in one lax.map
+    # dispatch, carries chained on device.  Off by default: on a host link
+    # where the WIRE is the constraint (this environment's relay), the
+    # interleaved streaming pipeline measures 1.2-1.4× faster than both
+    # the batched dispatch and the serial loop at 4×120 s, because decode
+    # is download-wire-bound and encode upload-wire-bound — keeping the
+    # wire saturated beats reducing dispatch count (STATUS.md round-4
+    # measurements).  Turn on for fast-interconnect deployments (PCIe)
+    # where per-dispatch overhead dominates transfer time.  Both paths are
+    # correctness-tested; encode is bit-identical either way.
+    segmented_batch: bool = False
+
     @property
     def n(self) -> int:
         """Number of MDCT coefficients per frame (= hop_size)."""

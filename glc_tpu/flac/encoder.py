@@ -19,6 +19,8 @@ from __future__ import annotations
 import ctypes
 import hashlib
 import os
+import queue
+import threading
 from pathlib import Path
 from typing import Union
 
@@ -72,9 +74,36 @@ def _block_group_stats(x_blocks: np.ndarray, gbs: int, level: int):
         res_full, lo, hi = (np.asarray(res_full), np.asarray(lo),
                             np.asarray(hi))
     else:
-        res_full, lo, hi = flac_block_stats_host(flat, order=order, po=po)
+        res_full, lo, hi = _block_stats_fast(flat, order, po)
     params = rice_params_from_sums(lo, hi, gbs, order, po)
     return res_full.reshape(-1), params.reshape(-1)
+
+
+def _block_stats_fast(flat: np.ndarray, order: int, po: int):
+    """Host block stats: native single-pass C++ when available (≈7× less
+    memory traffic than the numpy diff cascade — matters on a 1-core host
+    where the math timeshares with the relay's receive loop), numpy twin
+    otherwise.  Bit-identical either way (exact int32 arithmetic;
+    tests/test_flac.py::test_native_block_stats_matches_numpy pins it)."""
+    lib = get_native()
+    if lib is not None and hasattr(lib, "glc_flac_block_stats"):
+        c = ctypes
+        B, bs = flat.shape
+        xc = np.ascontiguousarray(flat, np.int32)
+        res = np.empty((B, bs), np.int32)
+        P = 1 << po
+        lo = np.empty((B, P), np.int32)
+        hi = np.empty((B, P), np.int32)
+        rc = lib.glc_flac_block_stats(
+            xc.ctypes.data_as(c.POINTER(c.c_int32)),
+            B, bs, order, po,
+            res.ctypes.data_as(c.POINTER(c.c_int32)),
+            lo.ctypes.data_as(c.POINTER(c.c_int32)),
+            hi.ctypes.data_as(c.POINTER(c.c_int32)),
+        )
+        if rc == 0:
+            return res, lo, hi
+    return flac_block_stats_host(flat, order=order, po=po)
 
 
 def _compute_frame_data(i16: np.ndarray, channels: int, level: int):
@@ -221,6 +250,18 @@ def encode_flac_i16_streaming(
     `total_per_channel` must be the exact final per-channel sample count
     (known up front from the container header): the block size depends on
     it (flac.rs:983-995), so it cannot be inferred mid-stream.
+
+    The per-chunk host work (MD5 + predictor/Rice block math) runs on ONE
+    worker thread fed in stream order through a bounded queue: run inline,
+    it would block the producer loop from pulling the next chunk — and the
+    producer's pulls are what issue the decode's device dispatches and
+    async host copies, so inline math serializes against the link instead
+    of overlapping it.  numpy, hashlib, and the native packer all release
+    the GIL, so on a 1-core host the worker's math timeshares into the
+    main thread's transfer WAITS rather than its runnable time.  A single
+    FIFO worker preserves chunk order, so the bytes are identical to the
+    inline path (GLC_FLAC_NO_WORKER=1 forces inline; the streaming-
+    equivalence tests pin byte identity either way).
     """
     if total_per_channel < 16:
         raise FlacError(
@@ -251,8 +292,8 @@ def encode_flac_i16_streaming(
         res_parts.append(r)
         rp_parts.append(p)
 
-    for chunk in chunks:
-        chunk = np.asarray(chunk, np.int16)
+    def ingest(chunk: np.ndarray):
+        nonlocal pending, pending_len
         md5.update(chunk.astype("<i2").tobytes())
         parts.append(chunk)
         pending.append(chunk)
@@ -263,6 +304,39 @@ def encode_flac_i16_streaming(
             rest = buf[group:]
             pending = [rest] if len(rest) else []
             pending_len = len(rest)
+
+    if os.environ.get("GLC_FLAC_NO_WORKER") == "1":
+        for chunk in chunks:
+            ingest(np.asarray(chunk, np.int16))
+    else:
+        err: list = []
+        q: "queue.Queue" = queue.Queue(maxsize=8)
+
+        def run():
+            while True:
+                c = q.get()
+                if c is None:
+                    return
+                if err:
+                    continue  # drain the queue; the error is already fatal
+                try:
+                    ingest(c)
+                except BaseException as e:  # propagate to the main thread
+                    err.append(e)
+
+        t = threading.Thread(target=run, daemon=True,
+                             name="flac-stream-math")
+        t.start()
+        try:
+            for chunk in chunks:
+                if err:
+                    break
+                q.put(np.asarray(chunk, np.int16))
+        finally:
+            q.put(None)
+            t.join()
+        if err:
+            raise err[0]
 
     i16 = np.concatenate(parts) if parts else np.empty(0, np.int16)
     total = len(i16) // channels

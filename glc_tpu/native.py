@@ -56,6 +56,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.glc_free.restype = None
     lib.glc_free.argtypes = [c.c_void_p]
+    if hasattr(lib, "glc_flac_block_stats"):  # absent in pre-r4 builds
+        lib.glc_flac_block_stats.restype = c.c_int32
+        lib.glc_flac_block_stats.argtypes = [
+            c.POINTER(c.c_int32), c.c_int64, c.c_int32, c.c_int32, c.c_int32,
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        ]
     lib.glc_flac_decode.restype = c.c_int32
     lib.glc_flac_decode.argtypes = [
         c.POINTER(c.c_uint8), c.c_int64,

@@ -356,3 +356,58 @@ def decode_chunks_packed_batch_device(
         return hops
 
     return jax.lax.map(body, (words_b, num_valid))
+
+
+@partial(jax.jit, static_argnames=("K", "C", "n", "budget", "rbudget",
+                                   "max_q", "window_raw", "use_pallas",
+                                   "out_i16", "out_interleave",
+                                   "append_carry"))
+def decode_chunks_packed_batch_carry_device(
+    words_b: jnp.ndarray,     # [B, W] — chunk s of B multi-chunk tracks
+    carries: jnp.ndarray,     # [B, C, n] f32 — per-track carry chain
+    num_valid: jnp.ndarray,   # [B] int32 (0 for tracks already finished)
+    cos_table: jnp.ndarray,
+    window: jnp.ndarray,
+    norm: jnp.ndarray,
+    *,
+    K: int,
+    C: int,
+    n: int,
+    budget: int,
+    rbudget: int,
+    max_q: float = 32768.0,
+    window_raw: bool = False,
+    use_pallas: bool = False,
+    out_i16: bool = False,
+    out_interleave: bool = False,
+    append_carry: bool = False,
+):
+    """Segment-level batched decode for MULTI-chunk tracks: chunk s of every
+    track in one dispatch, with each track's overlap carry chained exactly
+    as the serial path chains it (reference src/codec.rs:688-705 — the
+    sequential overlap buffer — becomes a [B, C, n] tensor that flows
+    device-side between the per-segment batched dispatches; VERDICT r3
+    item 4).  One upload + one dispatch per segment INDEX instead of per
+    (track, segment): on a link with ~25-40 ms per-transfer latency, that
+    is where realistic 3-5 min albums get their batched win.
+
+    `lax.map`, not `vmap`, like every other batch program here: the batch
+    axis must not change the per-track math (the body is the identical
+    traced single-chunk body, so per-track output matches the serial
+    program's).  Tracks shorter than the group's segment count ride along
+    with num_valid=0 — their rows compute garbage the host never downloads,
+    and their carries are never used again.
+
+    Returns (hops [B, K(+1), ...], new_carries [B, C, n]).
+    """
+
+    def body(t):
+        words, carry, valid = t
+        return _decode_packed_body(
+            words, carry, valid, cos_table, window, norm,
+            K=K, C=C, n=n, budget=budget, rbudget=rbudget, max_q=max_q,
+            window_raw=window_raw, use_pallas=use_pallas, out_i16=out_i16,
+            out_interleave=out_interleave, append_carry=append_carry,
+        )
+
+    return jax.lax.map(body, (words_b, carries, num_valid))

@@ -218,6 +218,72 @@ extern "C" int32_t glc_flac_partition_order(int32_t block_size,
 }
 
 // ---------------------------------------------------------------------------
+// Fixed-predictor residuals + Rice partition sums, one pass per row.
+//
+// Native twin of glc_tpu/flac/ops.py::flac_block_stats_host (itself the host
+// twin of the device kernel; reference flac.rs:480-552): the numpy version
+// materializes a temporary per diff order (~600 MB of memory traffic for a
+// 60 s stereo stream at order 4), which serializes against the relay's
+// receive loop on a 1-core host.  This computes the order-k residual as the
+// direct binomial kernel and the per-partition |residual| half-sums in ONE
+// scan (~85 MB of traffic), so the FLAC export's host math stops competing
+// with its own transfers.  Results are bit-identical to the numpy twin
+// (exact int32 arithmetic; tests/test_flac.py pins equivalence).
+// ---------------------------------------------------------------------------
+
+extern "C" int32_t glc_flac_block_stats(
+    const int32_t* x,    // [B, bs] row-major samples
+    int64_t B, int32_t bs, int32_t order, int32_t po,
+    int32_t* res_out,    // [B, bs] residuals (warm-up slots zeroed)
+    int32_t* lo_out,     // [B, 1<<po] per-partition sum(|res| & 0xFFFF)
+    int32_t* hi_out) {   // [B, 1<<po] per-partition sum(|res| >> 16)
+  if (B < 0 || bs <= 0 || order < 0 || order > 4 || po < 0 || po > 8)
+    return 1;
+  const int32_t P = 1 << po;
+  const int32_t dps = bs >> po;
+  if (dps << po != bs || order > bs) return 1;
+  for (int64_t r = 0; r < B; r++) {
+    const int32_t* xr = x + r * bs;
+    int32_t* rr = res_out + r * bs;
+    for (int32_t i = 0; i < order; i++) rr[i] = 0;
+    switch (order) {
+      case 0:
+        for (int32_t i = 0; i < bs; i++) rr[i] = xr[i];
+        break;
+      case 1:
+        for (int32_t i = 1; i < bs; i++) rr[i] = xr[i] - xr[i - 1];
+        break;
+      case 2:
+        for (int32_t i = 2; i < bs; i++)
+          rr[i] = xr[i] - 2 * xr[i - 1] + xr[i - 2];
+        break;
+      case 3:
+        for (int32_t i = 3; i < bs; i++)
+          rr[i] = xr[i] - 3 * xr[i - 1] + 3 * xr[i - 2] - xr[i - 3];
+        break;
+      default:
+        for (int32_t i = 4; i < bs; i++)
+          rr[i] = xr[i] - 4 * xr[i - 1] + 6 * xr[i - 2] - 4 * xr[i - 3] +
+                  xr[i - 4];
+    }
+    int32_t* lo = lo_out + r * P;
+    int32_t* hi = hi_out + r * P;
+    for (int32_t p = 0; p < P; p++) {
+      int32_t slo = 0, shi = 0;
+      const int32_t* rp = rr + (int64_t)p * dps;
+      for (int32_t i = 0; i < dps; i++) {
+        int32_t a = rp[i] < 0 ? -rp[i] : rp[i];
+        slo += a & 0xFFFF;
+        shi += a >> 16;
+      }
+      lo[p] = slo;
+      hi[p] = shi;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Full-stream packer.
 //
 // Layout contract with the Python caller (per frame f with block size bs[f]):

@@ -1,0 +1,97 @@
+"""bench.py artifact contract.
+
+The driver that records BENCH artifacts keeps only the LAST ~2000 chars of
+bench output and parses the LAST {"metric": ...} JSON line.  bench.py's
+contract (its module docstring, "ARTIFACT CONTRACT") is therefore: the final
+printed line is the flagship encode-e2e metric with a compact `summary`
+field carrying every other metric, and it must stay < 1500 chars so future
+metric additions can never push the flagship number out of the tail again
+(which is exactly what happened to the round-3 artifact).
+
+These tests pin that with representative — deliberately padded — data.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+
+def _representative_summary():
+    """Every summary key bench can emit, with worst-case-width values."""
+    return {
+        "long600": {"x": 8888.8, "pct_adj": 100.0,
+                    "runs": [8888.8, 8888.8, 8888.8], "fresh": True},
+        "decode": {"x": 8888.8, "med": 8888.8, "ceil_pct": 100.0},
+        "flac": {"x": 8888.8, "med": 8888.8, "ceil_pct": 100.0},
+        "album_enc": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88},
+        "album_dec": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88},
+        "album120_enc": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88},
+        "album120_dec": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88},
+        "dev": {"enc_x": 88888.0, "dec_x": 88888.0, "scatter_ms": 888.8,
+                "mdct_ms": 88.88, "overhead_ms": 888.8},
+    }
+
+
+def _representative_flagship():
+    return {
+        "metric": "encode_realtime_factor_44k_stereo",
+        "value": 8888.8,
+        "unit": "x_realtime",
+        "vs_baseline": 88.888,
+        "median_value": 8888.8,
+        "link_ceiling_x_realtime": 8888.8,
+        "pct_of_link_ceiling": 100.0,
+        "pct_of_link_ceiling_best_run": 100.0,
+    }
+
+
+def test_final_line_under_tail_budget():
+    s = bench._build_final_line(_representative_flagship(),
+                                _representative_summary())
+    assert len(s) < 1500, f"final line {len(s)} chars >= 1500 budget"
+
+
+def test_final_line_is_flagship_metric():
+    s = bench._build_final_line(_representative_flagship(),
+                                _representative_summary())
+    d = json.loads(s)
+    # the driver's `parsed` takes metric/value/unit/vs_baseline from the
+    # last JSON line — these must be the flagship encode-e2e fields
+    assert d["metric"] == "encode_realtime_factor_44k_stereo"
+    assert d["unit"] == "x_realtime"
+    assert "pct_of_link_ceiling" in d
+    assert set(d["summary"]) == set(_representative_summary())
+
+
+def test_final_line_single_line():
+    s = bench._build_final_line(_representative_flagship(),
+                                _representative_summary())
+    assert "\n" not in s
+
+
+def test_oversize_summary_sheds_runs_not_flagship():
+    """If the summary ever bloats past the budget, the guard drops verbose
+    sub-keys (runs lists) instead of growing the line."""
+    summary = _representative_summary()
+    summary["long600"]["runs"] = [8888.8] * 200  # pathological
+    s = bench._build_final_line(_representative_flagship(), summary)
+    d = json.loads(s)
+    assert len(s) < 1500
+    assert d["metric"] == "encode_realtime_factor_44k_stereo"
+    assert "runs" not in d["summary"]["long600"]
+
+
+def test_emit_records_summary_keys():
+    bench.SUMMARY.clear()
+    line = bench.emit("decode_realtime_factor_44k_stereo", 60.0, 0.3, 0.32,
+                      key="decode", pct_of_link_ceiling=87.5,
+                      link_ceiling_x_realtime=229.0,
+                      pct_of_link_ceiling_best_run=95.0)
+    assert line["value"] == 200.0
+    assert bench.SUMMARY["decode"] == {
+        "x": 200.0, "med": 187.5, "ceil_pct": 87.5}
+    bench.SUMMARY.clear()

@@ -177,3 +177,81 @@ def test_piecewise_upload_container_identical(monkeypatch):
     monkeypatch.setattr(em, "_UPLOAD_PIECE_BYTES", 1 << 16)
     got = serialize_encoded(enc.encode(s, 2))
     assert got == ref
+
+
+def test_encode_many_segmented_matches_serial():
+    """segmented_batch=True: multi-segment tracks batch at SEGMENT level
+    (every same-shape segment of every track in one
+    encode_interleaved_units_device dispatch): containers must be
+    bit-identical to per-file encodes across heterogeneous lengths
+    (different plan shapes, different upload buckets) and a raw-fallback
+    white-noise track."""
+    from dataclasses import replace
+
+    from utils import generate_sine_wave, generate_white_noise
+
+    import glc_tpu.ops.encode as oe
+    from glc_tpu.config import DEFAULT_CONFIG
+
+    cfg = replace(DEFAULT_CONFIG, encode_chunk_frames=128,
+                  segmented_batch=True)
+    enc = Encoder(44100, config=cfg)
+    a = generate_sine_wave(440.0, 44100, 2, 3.6)      # 2 segments
+    b = generate_sine_wave(523.25, 44100, 2, 6.9)     # 3 segments
+    c = generate_white_noise(44100, 2, 3.6, seed=7)   # raw frames
+    d = np.clip(
+        generate_sine_wave(330.0, 44100, 2, 3.6) * 32767.0, -32768, 32767
+    ).astype(np.int16)                                # pcm16 cluster, B=1
+
+    calls = {"n": 0}
+    real = oe.encode_interleaved_units_device
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    oe.encode_interleaved_units_device = counting
+    try:
+        many = enc.encode_many([(a, 2), (b, 2), (c, 2), (d, 2)])
+    finally:
+        oe.encode_interleaved_units_device = real
+    assert calls["n"] >= 1  # the f32 cluster used the units program
+
+    enc2 = Encoder(44100, config=cfg)
+    singles = [
+        enc2.encode(a, 2),
+        enc2.encode(b, 2),
+        enc2.encode(c, 2),
+        enc2.encode_pcm16(d, 2),
+    ]
+    assert singles[2].frame_set.raw_mask.any()
+    for got, want in zip(many, singles):
+        assert serialize_encoded(got) == serialize_encoded(want)
+
+
+def test_encode_many_segmented_mixed_with_singles():
+    """Single-segment tracks keep the whole-track batch; multi-segment
+    tracks take the full-depth interleaved default; results land in input
+    order and match solo encodes bit-for-bit.  Run under BOTH
+    segmented_batch settings — the knob must never change the bytes."""
+    from dataclasses import replace
+
+    from utils import generate_sine_wave
+
+    from glc_tpu.config import DEFAULT_CONFIG
+
+    short = generate_sine_wave(440.0, 44100, 2, 0.8)   # single segment
+    long_a = generate_sine_wave(220.0, 44100, 2, 3.6)  # multi-segment
+    long_b = generate_sine_wave(277.18, 44100, 2, 3.6)
+    items = [(short, 2), (long_a, 2), (short.copy(), 2), (long_b, 2)]
+    want = None
+    for batch in (False, True):
+        cfg = replace(DEFAULT_CONFIG, encode_chunk_frames=128,
+                      segmented_batch=batch)
+        enc = Encoder(44100, config=cfg)
+        many = [serialize_encoded(e) for e in enc.encode_many(items)]
+        if want is None:
+            enc2 = Encoder(44100, config=cfg)
+            want = [serialize_encoded(enc2.encode(s, ch))
+                    for s, ch in items]
+        assert many == want

@@ -2,8 +2,9 @@
 
 Same-bucket single-chunk tracks decode through ONE batched device program
 (lax.map over the shared packed-decode body); singleton buckets dispatch the
-single-track program on the same pre-packed buffer; multi-chunk tracks fall
-back to decode_i16.  Per-track outputs must equal decode_i16 within 1 LSB
+single-track program on the same pre-packed buffer; multi-chunk tracks batch
+at SEGMENT level with device-chained carries (decode_chunks_packed_batch_
+carry_device).  Per-track outputs must equal decode_i16 within 1 LSB
 (the batched program is the same traced body, but XLA may fuse the IMDCT
 chain differently under lax.map).  No reference analog: the GUI album
 export decodes files serially (reference src/ui.rs:317-359).
@@ -90,8 +91,8 @@ def test_decode_many_mixed_buckets_and_raw(enc, batch_spy):
 
 
 def test_decode_many_multichunk_falls_back(enc):
-    """A track longer than one decode chunk takes the serial path but still
-    lands in order next to batched peers."""
+    """A track longer than one decode chunk takes the interleaved
+    streaming path but still lands in order next to batched peers."""
     from dataclasses import replace
 
     from glc_tpu.config import DEFAULT_CONFIG
@@ -140,3 +141,101 @@ def test_decode_playlist_uses_batch(tmp_path, enc, batch_spy):
     dec = Decoder(2, 44100)
     ref = np.concatenate([dec.decode_i16(enc.encode(t, 2)) for t in tracks])
     _assert_within_1lsb(samples, ref)
+
+
+@pytest.fixture
+def seg_spy(monkeypatch):
+    """Count segment-batched (carry-chained) dispatches inside decode_many."""
+    import glc_tpu.ops.decode as od
+
+    calls = {"n": 0}
+    real = od.decode_chunks_packed_batch_carry_device
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(
+        od, "decode_chunks_packed_batch_carry_device", counting
+    )
+    return calls
+
+
+def test_decode_many_segmented_multichunk(enc, seg_spy):
+    """segmented_batch=True: multi-chunk tracks batch at SEGMENT level
+    (chunk s of every track in one dispatch, carries chained device-side)
+    — including heterogeneous chunk counts (short tracks ride the tail
+    segments with valid=0) and a raw-PCM track.  Per-track output ≤1 LSB
+    vs decode_i16, exact lengths."""
+    from dataclasses import replace
+
+    from glc_tpu.config import DEFAULT_CONFIG
+
+    cfg = replace(DEFAULT_CONFIG, decode_chunk_frames=128,
+                  segmented_batch=True)
+    tracks = [
+        generate_sine_wave(440.0, 44100, 1, 3.0),   # 2 chunks of 128
+        generate_sine_wave(220.0, 44100, 1, 7.0),   # 3 chunks
+        generate_white_noise(44100, 1, 3.0, seed=7),  # raw frames, 2 chunks
+    ]
+    encodeds = [enc.encode(t, 1) for t in tracks]
+    assert encodeds[0].frame_set.num_frames > 128
+    assert encodeds[1].frame_set.num_frames > 2 * 128
+    assert encodeds[2].frame_set.raw_mask.any()
+    dec = Decoder(1, 44100, config=cfg)
+    outs = dec.decode_many(encodeds)
+    # one carry-chained dispatch per segment INDEX (3 = the longest track)
+    assert seg_spy["n"] == 3
+    for ea, out, src in zip(encodeds, outs, tracks):
+        assert len(out) == len(src)
+        _assert_within_1lsb(out, dec.decode_i16(ea))
+        assert out.base is None or out.base.nbytes <= out.nbytes
+
+
+def test_decode_many_mixes_single_and_multichunk(enc, batch_spy, seg_spy):
+    """Single-chunk tracks keep the whole-track batch; multi-chunk tracks
+    take the segmented path (segmented_batch=True here); results land in
+    input order."""
+    from dataclasses import replace
+
+    from glc_tpu.config import DEFAULT_CONFIG
+
+    cfg = replace(DEFAULT_CONFIG, decode_chunk_frames=128,
+                  segmented_batch=True)
+    short = generate_sine_wave(440.0, 44100, 1, 0.5)
+    long_ = generate_sine_wave(220.0, 44100, 1, 3.5)
+    tracks = [short, long_, short.copy()]
+    encodeds = [enc.encode(t, 1) for t in tracks]
+    dec = Decoder(1, 44100, config=cfg)
+    outs = dec.decode_many(encodeds)
+    assert batch_spy["n"] == 1       # the two shorts, one batch
+    assert seg_spy["n"] == 2         # the long track's two segments (B=1)
+    for ea, out, src in zip(encodeds, outs, tracks):
+        assert len(out) == len(src)
+        _assert_within_1lsb(out, dec.decode_i16(ea))
+
+
+def test_decode_many_interleaved_default_bit_identical(enc, seg_spy):
+    """DEFAULT path for multi-chunk tracks: round-robin interleaved
+    decode_i16_stream generators — no segment-batch dispatches, and each
+    track's output is BIT-identical to decode_i16 (same generator)."""
+    from dataclasses import replace
+
+    from glc_tpu.config import DEFAULT_CONFIG
+
+    cfg = replace(DEFAULT_CONFIG, decode_chunk_frames=128)
+    assert not cfg.segmented_batch
+    tracks = [
+        generate_sine_wave(440.0, 44100, 1, 3.0),
+        generate_sine_wave(220.0, 44100, 1, 7.0),
+        generate_white_noise(44100, 1, 3.0, seed=7),
+        generate_sine_wave(440.0, 44100, 1, 0.5),   # single-chunk peer
+    ]
+    encodeds = [enc.encode(t, 1) for t in tracks]
+    dec = Decoder(1, 44100, config=cfg)
+    outs = dec.decode_many(encodeds)
+    assert seg_spy["n"] == 0
+    for ea, out, src in zip(encodeds[:3], outs[:3], tracks[:3]):
+        assert len(out) == len(src)
+        np.testing.assert_array_equal(out, dec.decode_i16(ea))
+    _assert_within_1lsb(outs[3], dec.decode_i16(encodeds[3]))

@@ -195,3 +195,35 @@ def test_flac_pack_rejects_bad_geometry():
         rp.ctypes.data_as(c.POINTER(c.c_int8)),
         c.byref(out), c.byref(out_len))
     assert rc == -3
+
+
+def test_native_block_stats_matches_numpy():
+    """The native single-pass block stats (glc_flac_block_stats) must be
+    bit-identical to the numpy twin across predictor orders and partition
+    orders — it feeds the byte stream, so any divergence is a corrupt
+    FLAC."""
+    import numpy as np
+
+    from glc_tpu.flac.encoder import _block_stats_fast
+    from glc_tpu.flac.ops import flac_block_stats_host
+    from glc_tpu.native import get_native
+
+    if get_native() is None:
+        import pytest
+
+        pytest.skip("native library unavailable (numpy twin is the path)")
+    rng = np.random.default_rng(42)
+    for order in range(5):
+        for po, bs in ((0, 1152), (2, 1152), (4, 4096), (6, 4096)):
+            x = rng.integers(-32768, 32768, (7, bs), dtype=np.int32)
+            got = _block_stats_fast(x, order, po)
+            want = flac_block_stats_host(x, order=order, po=po)
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g, w)
+    # extreme values: the order-4 kernel's 16x range must not misbehave
+    x = np.full((2, 256), 32767, np.int32)
+    x[:, ::2] = -32768
+    got = _block_stats_fast(x, 4, 2)
+    want = flac_block_stats_host(x, order=4, po=2)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)

@@ -1,5 +1,7 @@
 """Timing tests (mirrors reference tests/test_performance.rs — printed
-measurements, no hard assertions beyond sanity).
+measurements), plus one enforceable on-chip regression gate
+(test_device_compute_regression_gate) the reference's print-only suite
+lacks.
 
 The reference's rayon 1/2/4/8-thread scaling becomes mesh-shard scaling on
 the virtual CPU device mesh.  Real-chip numbers come from bench.py.
@@ -8,6 +10,7 @@ the virtual CPU device mesh.  Real-chip numbers come from bench.py.
 import time
 
 import numpy as np
+import pytest
 
 from glc_tpu import Decoder, Encoder
 from utils import generate_sine_wave, generate_square_wave
@@ -150,3 +153,58 @@ def test_streaming_export_timing():
     assert a == b
     print(f"decode+flac 2s stereo: streamed {dt_s*1000:.1f} ms vs batch "
           f"{dt_b*1000:.1f} ms")
+
+
+def test_device_compute_regression_gate():
+    """Hard perf-regression gate: forced device-compute encode > 800×,
+    decode > 1200× realtime for 60 s stereo on the real chip (the round-3
+    measurements were 1200-1293× / 1381-2217×, so these floors catch a
+    real regression — e.g. an XLA scatter pathology — without flaking on
+    link noise; the reference's own perf suite prints but never asserts,
+    tests/test_performance.rs:204-236).
+
+    The suite's conftest deliberately forces a CPU mesh, so the gate runs
+    bench's forced-execution measurement in a child process WITHOUT that
+    override.  A chip claim costs ~200 s through this environment's relay,
+    so it is opt-in: GLC_PERF_ASSERT=1 python -m pytest
+    tests/test_performance.py -k gate.  Never run it while another TPU
+    process is live (the shared tunnel serializes them and both
+    measurements are garbage)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    if os.environ.get("GLC_PERF_ASSERT") != "1":
+        pytest.skip(
+            "on-chip gate is opt-in: set GLC_PERF_ASSERT=1 "
+            "(costs a ~200 s chip claim)"
+        )
+    root = Path(__file__).resolve().parent.parent
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    code = (
+        "import json, bench\n"
+        "samples = bench.make_signal_i16(60.0)\n"
+        "from glc_tpu import Encoder, Decoder\n"
+        "enc = Encoder(44100); dec = Decoder(2, 44100)\n"
+        "encoded = enc.encode_pcm16(samples, 2)\n"
+        "bench.SUMMARY.clear()\n"
+        "bench._device_compute_diagnostics(enc, dec, encoded, samples, 60.0)\n"
+        "print('GATE ' + json.dumps(bench.SUMMARY['dev']))\n"
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1200, env=env, cwd=root,
+    )
+    assert p.returncode == 0, f"gate child failed: {p.stderr[-800:]}"
+    res = None
+    for ln in reversed(p.stdout.splitlines()):
+        if ln.startswith("GATE "):
+            res = json.loads(ln[5:])
+            break
+    assert res is not None, f"no GATE line in: {p.stdout[-400:]}"
+    print(f"device-compute gate: {res}")
+    assert res["enc_x"] > 800, res
+    assert res["dec_x"] > 1200, res
