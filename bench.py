@@ -11,8 +11,9 @@ Measures the full pipelines end to end — what `glc song.wav` and
     tests/test_performance.rs round-trip anchor);
   * album: 4×15 s multi-track encode_many (batched device program) vs the
     serial per-file loop it replaces (reference src/main.rs:545-583);
-  * long file: a 600 s encode in a FRESH subprocess (the long-session relay
-    degradation cannot have accumulated there — see _run_longfile_fresh).
+  * long file: a 600 s encode, attributed against same-size consuming
+    probes (see _longfile_measure; GLC_BENCH_SUBPROC=1 runs it in a fresh
+    child process instead, for A/B-ing the wire-phase conclusion).
 
 The reference publishes no numbers (SURVEY.md §6); the north star is ≥500×
 realtime encode per chip (BASELINE.json).  `vs_baseline` is measured against
@@ -152,22 +153,24 @@ def _build_final_line(flagship: dict, summary: dict) -> str:
 # --- long-file (600 s) measurement ----------------------------------------
 
 
-def _longfile_measure(probe_nbytes: int = 32 << 20) -> dict:
+def _longfile_measure() -> dict:
     """Measure the 600 s stereo encode: first (warm, incl. segment-plan
     compiles) then 3 hot runs, each with an ADJACENT upload probe for
     attribution.
 
-    The probe is a 32 MB CONSUMING upload (device_put + a 1-element
-    reduction round-trip): big enough to sample the SUSTAINED wire rate
-    the 106 MB pipeline actually gets — the wire swings 6-50 MB/s between
-    minutes (measured; a 6 MB/s phase turns this metric into 35× no matter
-    what the code does, and an 11 MB staged probe would report 40+ MB/s
-    through the very same phase).
+    The probe is a CONSUMING upload (device_put + a 1-element reduction
+    round-trip) of the SAME 106 MB size class as the pipeline's own
+    upload: the wire's burst credit covers tens of MB, so a smaller probe
+    over-reads the sustained regime this metric lives in (measured: 32 MB
+    probes 40-50 MB/s adjacent to a 106 MB pipeline sustaining 13 MB/s —
+    the metric read "26% of ceiling" against a ceiling the wire cannot
+    give 106 MB; the wire itself swings 6-50 MB/s between minutes).
 
-    Runs in whatever process calls it — the official path is the fresh
-    subprocess of _run_longfile_fresh (VERDICT r3 item 2; a child process
-    that has moved no other traffic measures what standalone use sees).
-    Anchor: the duration-scaling test of reference
+    Runs in-process by default: round 4 established that the round-3
+    "in-bench vs standalone" long-file gap was wire phases misattributed
+    by staging-only probes, not session state (VERDICT r3 item 2's "find
+    the actual mechanism") — GLC_BENCH_SUBPROC=1 re-runs the fresh-child
+    A/B.  Anchor: the duration-scaling test of reference
     tests/test_performance.rs:49-53.
     """
     import jax
@@ -178,7 +181,7 @@ def _longfile_measure(probe_nbytes: int = 32 << 20) -> dict:
     sample_rate = 44100
     long_s = 600.0
     long_pcm = make_signal_i16(long_s, sample_rate)
-    probe_buf = long_pcm[: probe_nbytes // 2].copy()
+    probe_buf = long_pcm.copy()
     _consume = jax.jit(lambda x: x[:1].astype(jnp.int32).sum())
 
     def probe_up() -> float:
@@ -218,12 +221,12 @@ def longfile_child() -> None:
 
 
 def _run_longfile_fresh():
-    """Run the 600 s case in a FRESH subprocess, BEFORE this process ever
-    touches the TPU (two live TPU processes serialize on the shared tunnel,
-    so the parent must not hold the chip while the child runs — and the
-    child must run first, since a claim is only released at process exit).
-    Costs one extra ~200 s chip claim; buys standalone-equivalent
-    measurement conditions for the one metric long sessions degrade."""
+    """Run the 600 s case in a FRESH subprocess (GLC_BENCH_SUBPROC=1;
+    the parent idles on subprocess.run, so the tunnel is the child's
+    alone).  Costs one extra chip claim (~200 s, occasionally much more —
+    the reason this is no longer the default; the wire-phase mechanism
+    the child was meant to dodge turned out to be probe fiction, see
+    _longfile_measure)."""
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--longfile-child"],
@@ -270,15 +273,6 @@ def _emit_longfile(res: dict, fresh: bool) -> None:
 
 
 def main() -> None:
-    # Long-file FIRST, in a fresh child, before this process claims the TPU
-    # (see _run_longfile_fresh).  GLC_BENCH_NO_SUBPROC=1 skips the child
-    # (used by the in-process fallback path and quick local runs).
-    long_res = None
-    if os.environ.get("GLC_BENCH_NO_SUBPROC") != "1":
-        long_res = _run_longfile_fresh()
-        if long_res is not None:
-            _emit_longfile(long_res, fresh=True)
-
     duration_s = 60.0
     sample_rate = 44100
     # 16-bit-sourced program material (what a WAV/FLAC input actually is):
@@ -341,15 +335,6 @@ def main() -> None:
         np.asarray(src)
         return up_bytes / (time.perf_counter() - t0)
 
-    # in-process long-file fallback, right after warmup (only if the fresh
-    # child failed — the child is the representative measurement)
-    if long_res is None:
-        try:
-            res = _longfile_measure()
-            _emit_longfile(res, fresh=False)
-        except Exception as e:
-            print(f"# long-file diagnostic failed: {e}", file=sys.stderr)
-
     # 11 reps per metric (VERDICT r3 item 6: a rep costs ~0.3 s; more reps
     # shrink the capture spread the relay's bandwidth phases cause)
     runs = 11
@@ -394,6 +379,10 @@ def main() -> None:
         floor_s = words_bytes / bw_u + down_bytes / bw_d
         flac_ceils.append(duration_s / floor_s)
 
+    # Timeout resilience: after every section below, the flagship line is
+    # re-printed with the summary-so-far (same format as the final line).
+    # If the driver's timeout kills the run mid-way, the LAST parseable
+    # metric line is still the flagship with everything measured so far.
     best, med = min(enc_times), float(np.median(enc_times))
     flagship = emit(
         "encode_realtime_factor_44k_stereo", duration_s, best, med,
@@ -447,16 +436,43 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    print(_build_final_line(flagship, SUMMARY))
+    sys.stdout.flush()
+
     try:
         _album_bench(enc, dec, duration_s, sample_rate, runs)
     except Exception as e:
         print(f"# album bench failed: {e}", file=sys.stderr)
+    print(_build_final_line(flagship, SUMMARY))
+    sys.stdout.flush()
 
     # --- diagnostics: device-compute-only realtime factor + roofline ---
     try:
         _device_compute_diagnostics(enc, dec, encoded, samples, duration_s)
     except Exception as e:
         print(f"# diagnostics failed: {e}", file=sys.stderr)
+    print(_build_final_line(flagship, SUMMARY))
+    sys.stdout.flush()
+
+    # --- long file LAST (its value is wire-phase-bound — the 60 s metrics
+    # above must never be hostage to it under a driver timeout), in-process
+    # with same-size consuming probes.  Round 3 blamed a "session-state
+    # degradation" for in-bench long-file collapses; round 4 found the
+    # actual mechanism: device_put+block_until_ready measures STAGING
+    # (555-1042 MB/s), not the wire, and the wire's sustained rate swings
+    # 6-50 MB/s between minutes — in-process vs subprocess never mattered,
+    # the phases did.  GLC_BENCH_SUBPROC=1 still runs it in a fresh child
+    # (costs a second ~200 s chip claim) for A/B-ing that conclusion. ---
+    long_res = None
+    if os.environ.get("GLC_BENCH_SUBPROC") == "1":
+        long_res = _run_longfile_fresh()
+        if long_res is not None:
+            _emit_longfile(long_res, fresh=True)
+    if long_res is None:
+        try:
+            _emit_longfile(_longfile_measure(), fresh=False)
+        except Exception as e:
+            print(f"# long-file diagnostic failed: {e}", file=sys.stderr)
 
     # THE LAST LINE (see ARTIFACT CONTRACT in the module docstring): the
     # flagship metric re-emitted with every other metric in `summary`.

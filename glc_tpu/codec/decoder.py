@@ -63,6 +63,13 @@ class _Cancelled(Exception):
 # with async copies, so no latency is added.
 _DOWNLOAD_PIECE_ROWS = 1024
 
+# Concurrent generators in the interleaved multi-track decode: more overlap
+# at track boundaries, but also more in-flight download volume on the wire
+# (each active generator keeps up to 8 chunks of pieced copies live) — too
+# many outstanding streams congest the relay (measured at 4×120 s; see
+# _decode_streaming_interleaved).
+_STREAM_INTERLEAVE_CAP = 2
+
 
 def _piece_download(hops_d, rows: int):
     """Slice the leading `rows` of a device hop tensor into ≤1024-row
@@ -677,9 +684,10 @@ class Decoder:
         output is BIT-identical to `decode_i16` (same generator).  Active
         generators are capped to bound in-flight device+host buffers.
         """
+        cap = _STREAM_INTERLEAVE_CAP
         parts: dict = {i: [] for i, _ in recs}
-        active = [(i, self.decode_i16_stream(ea)) for i, ea in recs[:4]]
-        waiting = list(recs[4:])
+        active = [(i, self.decode_i16_stream(ea)) for i, ea in recs[:cap]]
+        waiting = list(recs[cap:])
         while active:
             nxt = []
             for i, g in active:
