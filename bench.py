@@ -473,6 +473,13 @@ def main() -> None:
             _emit_longfile(_longfile_measure(), fresh=False)
         except Exception as e:
             print(f"# long-file diagnostic failed: {e}", file=sys.stderr)
+    print(_build_final_line(flagship, SUMMARY))
+    sys.stdout.flush()
+
+    try:
+        _album120_bench(enc, dec, sample_rate, runs)
+    except Exception as e:
+        print(f"# album120 bench failed: {e}", file=sys.stderr)
 
     # THE LAST LINE (see ARTIFACT CONTRACT in the module docstring): the
     # flagship metric re-emitted with every other metric in `summary`.
@@ -546,14 +553,22 @@ def _album_bench(enc, dec, duration_s, sample_rate, runs) -> None:
         file=sys.stderr,
     )
 
-    # --- album at realistic track length: 4×120 s.  Each track is
-    # MULTI-segment/multi-chunk, so this exercises the multi-track
-    # pipelines at the scale the reference GUI's album export handles
-    # serially (src/ui.rs:291-402): full-depth interleaved dispatch on
-    # encode, round-robin interleaved streaming on decode (the measured-
-    # fastest defaults on a wire-bound link; the segment-batched lax.map
-    # alternative ships behind config.segmented_batch for fast
-    # interconnects — it measured 0.75-0.85× of these here). ---
+
+def _album120_bench(enc, dec, sample_rate, runs) -> None:
+    """Album at realistic track length: 4×120 s.  Each track is
+    MULTI-segment/multi-chunk, so this exercises the multi-track pipelines
+    at the scale the reference GUI's album export handles serially
+    (src/ui.rs:291-402): full-depth interleaved dispatch on encode, the
+    unified streaming path on decode.  Decode at this scale is
+    download-wire-bound — every structure measured within wire-phase noise
+    of serial, and CONCURRENCY costs (~15% for interleaved streams,
+    0.75-0.85× for the segment-batched lax.map alternative behind
+    config.segmented_batch) — so its vs_serial is expected ≈1.0; encode's
+    interleaving measured ~1.1-1.3×.  Runs LAST: it is the most
+    wire-expensive section and the metrics above must not be hostage to
+    it under a driver timeout."""
+    from glc_tpu import serialize_encoded
+
     dur120 = 480.0
     track120 = make_signal_i16(120.0, sample_rate)
     tracks120 = [(track120, 2)] * 4
@@ -762,8 +777,8 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
             qq = jnp.where(q != jnp.int16(0),
                            q + (i & 1).astype(jnp.int16), q)
             p = _compact_pairs(qq, nnz, 1024, budget)
-            return acc + p.astype(jnp.int64).sum()
-        return jax.lax.fori_loop(i0, i0 + reps, body, jnp.int64(0))
+            return acc + p.sum()
+        return jax.lax.fori_loop(i0, i0 + reps, body, jnp.int32(0))
 
     @_partial(jax.jit, static_argnames=("reps",))
     def mdct_slope(x, i0, *, reps):

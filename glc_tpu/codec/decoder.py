@@ -63,12 +63,15 @@ class _Cancelled(Exception):
 # with async copies, so no latency is added.
 _DOWNLOAD_PIECE_ROWS = 1024
 
-# Concurrent generators in the interleaved multi-track decode: more overlap
-# at track boundaries, but also more in-flight download volume on the wire
-# (each active generator keeps up to 8 chunks of pieced copies live) — too
-# many outstanding streams congest the relay (measured at 4×120 s; see
-# _decode_streaming_interleaved).
-_STREAM_INTERLEAVE_CAP = 2
+# Concurrent generators in the multi-track streaming decode.  1 = strict
+# serial track order through the unified path: on this relay, interleaving
+# the pieced download streams of several tracks measured a consistent
+# ~15% penalty at 4×120 s (in-bench vs_serial 0.83-0.85 at caps 2-4, and
+# a cap sweep put every cap within wire-phase noise of serial — there is
+# no structural win to buy here because each track's own 8-chunk-deep
+# pipeline already saturates the wire; more concurrent streams just
+# congest it).  Raise on links where per-track drains leave the wire idle.
+_STREAM_INTERLEAVE_CAP = 1
 
 
 def _piece_download(hops_d, rows: int):
@@ -670,19 +673,20 @@ class Decoder:
         return results
 
     def _decode_streaming_interleaved(self, recs, results) -> None:
-        """Multi-chunk tracks, DEFAULT path: drive every track's
-        `decode_i16_stream` generator round-robin, so all tracks' chunk
-        dispatches and pieced downloads share the wire with no
-        track-boundary drain (the serial loop stalls the wire while each
-        track's last in-flight chunks collect; the reference decodes
-        album tracks strictly serially, src/ui.rs:317-359).
+        """Multi-chunk tracks, DEFAULT path: drive the tracks'
+        `decode_i16_stream` generators with _STREAM_INTERLEAVE_CAP active
+        at a time (the reference decodes album tracks strictly serially,
+        src/ui.rs:317-359).
 
-        Measured on the relay at 4×120 s: ~1.2× vs the serial loop, while
-        the segment-batched lax.map alternative (`segmented_batch=True`)
-        measured 0.75-0.8× — decode is download-wire-bound, so keeping
-        the wire saturated beats reducing dispatch count.  Each track's
-        output is BIT-identical to `decode_i16` (same generator).  Active
-        generators are capped to bound in-flight device+host buffers.
+        Decode at this scale is download-wire-bound: each track's own
+        8-chunk-deep pieced-download pipeline already saturates the wire,
+        so every structure measured within wire-phase noise of the serial
+        loop at 4×120 s — EXCEPT more concurrency, which costs (~15% for
+        interleaved streams at caps 2-4 on this relay, 0.75-0.8× for the
+        segment-batched lax.map alternative, `segmented_batch=True`).
+        Hence cap 1 by default: serial track order through one code path.
+        Each track's output is BIT-identical to `decode_i16` (same
+        generator).
         """
         cap = _STREAM_INTERLEAVE_CAP
         parts: dict = {i: [] for i, _ in recs}
