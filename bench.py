@@ -698,8 +698,9 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     max_row_nnz = int(fs.nnz.max()) if fs.nnz.size else 0
     print(
         f"# compaction: max per-(frame,channel) nnz = {max_row_nnz} "
-        f"(sort-free cumsum+scatter path; gather/chunked/unique-indices "
-        f"variants measured neutral or worse)",
+        f"(two-stage blocked compaction: 128-wide block gather then "
+        f"element scatter over kept blocks only — replaced the single "
+        f"full element scatter, 49 -> 36 ms on the 4096-frame program)",
         file=sys.stderr,
     )
 
@@ -747,7 +748,8 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     # SLOPES: the relay's ~29 ms per-call floor (overhead_ms) swamps any
     # single-shot probe of a sub-30 ms op, so each op runs N times inside
     # ONE jitted fori_loop and the marginal cost (t[N=9] − t[N=1]) / 8 is
-    # the on-chip time.  scatter = _compact_pairs on the real encoded q
+    # the on-chip time.  scatter = the SHIPPED two-stage blocked
+    # compaction (_compact_pairs_auto) on the real encoded q
     # (+ its ~1 ms perturb/reduce); mdct = the 43-GFLOP einsum (+ its
     # <0.5 ms consuming reduction — a sliced output would let XLA shrink
     # the very dot being timed).  Driver-visible JSON so "scatter-bound,
@@ -756,7 +758,7 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     from functools import partial as _partial
 
     from glc_tpu.ops.encode import (
-        _compact_pairs,
+        _compact_pairs_auto,
         _planarize_device,
         encode_interleaved_dense_device,
         frames_from_signal,
@@ -776,7 +778,7 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
             # keep mask stays (almost) fixed, so the scatter workload does
             qq = jnp.where(q != jnp.int16(0),
                            q + (i & 1).astype(jnp.int16), q)
-            p = _compact_pairs(qq, nnz, 1024, budget)
+            p = _compact_pairs_auto(qq, nnz, 1024, budget)
             return acc + p.sum()
         return jax.lax.fori_loop(i0, i0 + reps, body, jnp.int32(0))
 
@@ -832,7 +834,7 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
         f"{enc_x:.0f}x realtime on-chip (per-call relay floor "
         f"{overhead_ms:.1f} ms); roofline slopes: compaction scatter "
         f"{scatter_ms:.1f} ms/rep, MDCT einsum {mdct_ms:.2f} ms/rep — "
-        f"the program is scatter-bound, the MXU math is "
+        f"the program is compaction+floor-bound, the MXU math is "
         f"~{100*mdct_ms/max(full_ms,1e-9):.0f}% of it",
         file=sys.stderr,
     )

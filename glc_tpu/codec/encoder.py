@@ -491,7 +491,8 @@ class Encoder:
         )
         out_d = encode_interleaved_batch_device(
             xb_dev, np.zeros(B, np.int32), *tables,
-            k_frames=K, budget=budget, **params
+            k_frames=K, budget=budget,
+            bb_mult=cfg.compact_bb_mult, **params
         )
 
         stats_width = 2 * C + 1
@@ -644,14 +645,16 @@ class Encoder:
                 j, start, _valid = units[0]
                 out_d = encode_interleaved_device(
                     xb_dev[j], np.int32(start), *tables,
-                    k_frames=k, budget=budget, **params
+                    k_frames=k, budget=budget,
+                    bb_mult=cfg.compact_bb_mult, **params
                 )[None]
             else:
                 out_d = encode_interleaved_units_device(
                     xb_dev,
                     np.asarray([u[0] for u in units], np.int32),
                     np.asarray([u[1] for u in units], np.int32),
-                    *tables, k_frames=k, budget=budget, **params
+                    *tables, k_frames=k, budget=budget,
+                    bb_mult=cfg.compact_bb_mult, **params
                 )
             slices = [
                 start_host_copy(out_d[u, : S + cut0])
@@ -884,7 +887,8 @@ class Encoder:
             budget = max(k * C * n // 8, 1 << 14)
             out_d = encode_interleaved_device(
                 xinter_dev, np.int32(start), *tables,
-                k_frames=k, budget=budget, **params
+                k_frames=k, budget=budget,
+                bb_mult=cfg.compact_bb_mult, **params
             )
             sliced, cut0 = slice_async(out_d, k, budget)
             segs.append((start, valid, k, out_d, sliced, cut0, budget))

@@ -135,6 +135,62 @@ def test_compaction_matches_reference_order():
     np.testing.assert_array_equal(got2[: len(ref2)], ref2)
 
 
+def test_blocked_compaction_matches_element_scatter():
+    """_compact_pairs_auto (two-stage blocked compaction) must be
+    bit-identical to the legacy element scatter in every regime: the fast
+    branch (kept blocks within bb_mult·R), the full-coverage lax.cond
+    branch (content denser than the budget), the always-full static case
+    (bb_mult ≥ NB), and the static guard fallbacks (bb_mult=0, n not a
+    multiple of the block size)."""
+    import jax
+    from glc_tpu.ops.encode import _compact_pairs, _compact_pairs_auto
+
+    rng = np.random.default_rng(3)
+    n = 1024
+    K, C = 8, 2
+    budget = K * C * n // 8
+
+    def both(q, nnz, bb_mult, n=n, budget=budget):
+        legacy = np.asarray(jax.jit(
+            lambda q, z: _compact_pairs(q, z, n, budget))(q, nnz))
+        auto = np.asarray(jax.jit(
+            lambda q, z: _compact_pairs_auto(q, z, n, budget, bb_mult)
+        )(q, nnz))
+        wanted = int(nnz.sum())
+        np.testing.assert_array_equal(auto[:wanted], legacy[:wanted])
+
+    # clustered sparse rows → fast branch
+    q = np.zeros((K, C, n), np.int16)
+    for f in range(K):
+        for c in range(C):
+            base = rng.integers(0, n - 300)
+            idx = base + rng.integers(0, 260, size=40)
+            q[f, c, np.unique(idx)] = rng.integers(1, 3000)
+    nnz = (q != 0).sum(-1).astype(np.int32)
+    both(q, nnz, bb_mult=6)
+
+    # spread rows (every 128-block kept) → overflow → full-coverage branch
+    q2 = np.where(rng.random((K, C, n)) < 0.3,
+                  rng.integers(-3000, 3000, (K, C, n)), 0).astype(np.int16)
+    nnz2 = (q2 != 0).sum(-1).astype(np.int32)
+    both(q2, nnz2, bb_mult=1)
+
+    # bb_mult >= NB → static always-full path (no cond)
+    both(q2, nnz2, bb_mult=8)
+
+    # static guards → legacy path
+    both(q2, nnz2, bb_mult=0)
+    n3 = 96  # not a multiple of 128
+    q3 = np.where(rng.random((K, C, n3)) < 0.2,
+                  rng.integers(-3000, 3000, (K, C, n3)), 0).astype(np.int16)
+    nnz3 = (q3 != 0).sum(-1).astype(np.int32)
+    both(q3, nnz3, bb_mult=6, n=n3, budget=K * C * n3 // 4)
+
+    # all-zero input → no pairs, no crash
+    qz = np.zeros((K, C, n), np.int16)
+    both(qz, (qz != 0).sum(-1).astype(np.int32), bb_mult=6)
+
+
 def test_encode_many_batched_group_matches_serial():
     """Same-bucket tracks go through ONE batched device program
     (encode_interleaved_batch_device); containers must be bit-identical to
