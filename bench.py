@@ -70,12 +70,22 @@ SUMMARY: dict = {}
 
 def make_signal(duration_s: float, sample_rate: int = 44100) -> np.ndarray:
     """Stereo program-like material: chord + sweep + noise bed (keeps the
-    sparse path honest — pure tones over-flatter the codec)."""
+    sparse path honest — pure tones over-flatter the codec).
+
+    The sweep's clock wraps every 60 s: its instantaneous frequency is
+    440 + 200·ts Hz, which for an UNwrapped 600 s run crosses Nyquist at
+    t≈108 s — beyond that the "sweep" is full-band aliased noise, and a
+    long-file metric on it measures content density, not duration scaling
+    (round 4 traced the r3 long-file collapse to exactly this: every
+    segment overflowing the compaction budget into dense transfers).
+    ts == t exactly for t < 60, so every ≤60 s signal is bit-identical to
+    what earlier rounds measured."""
     t = np.arange(int(sample_rate * duration_s), dtype=np.float32) / sample_rate
+    ts = np.mod(t, np.float32(60.0))
     left = (
         0.30 * np.sin(2 * np.pi * 261.63 * t)
         + 0.20 * np.sin(2 * np.pi * 329.63 * t)
-        + 0.15 * np.sin(2 * np.pi * (440.0 + 100.0 * t) * t)
+        + 0.15 * np.sin(2 * np.pi * (440.0 + 100.0 * ts) * ts)
     )
     rng = np.random.default_rng(1234)
     noise = rng.standard_normal(len(t)).astype(np.float32) * 0.01
@@ -155,8 +165,10 @@ def _build_final_line(flagship: dict, summary: dict) -> str:
 
 def _longfile_measure() -> dict:
     """Measure the 600 s stereo encode: first (warm, incl. segment-plan
-    compiles) then 3 hot runs, each with an ADJACENT upload probe for
-    attribution.
+    compiles) then 3 hot runs, each with ADJACENT upload AND download
+    probes for attribution — the ceiling counts both irreducible
+    directions (106 MB PCM up + the container's bytes down), same
+    accounting as the 60 s encode metric.
 
     The probe is a CONSUMING upload (device_put + a 1-element reduction
     round-trip) of the SAME 106 MB size class as the pipeline's own
@@ -192,17 +204,39 @@ def _longfile_measure() -> dict:
 
     enc = Encoder(sample_rate)
     t0 = time.perf_counter()
-    enc.encode_pcm16(long_pcm, 2)
+    data = serialize_encoded(enc.encode_pcm16(long_pcm, 2))
     warm = time.perf_counter() - t0
+    container_bytes = len(data)
+    del data
     probe_up()  # compile the consuming probe outside the timed reps
+
+    # download probe of the container's own size class (relay bandwidth is
+    # strongly size-dependent; see the module docstring)
+    _bump = jax.jit(lambda x, i: x + i)
+    down_dev = jax.device_put(
+        np.zeros(max(container_bytes, 1 << 20) // 2, np.int16))
+    jax.block_until_ready(down_dev)
+    _probe_n = [0]
+
+    def probe_down() -> float:
+        _probe_n[0] += 1              # distinct args defeat memoization
+        src = _bump(down_dev, np.int16(_probe_n[0]))
+        jax.block_until_ready(src)
+        t0 = time.perf_counter()
+        arr = np.asarray(src)
+        return arr.nbytes / (time.perf_counter() - t0)
+
+    probe_down()  # compile
 
     hots, ceils = [], []
     for _ in range(3):
-        bw = probe_up()
+        bw_u = probe_up()
+        bw_d = probe_down()
         t0 = time.perf_counter()
         serialize_encoded(enc.encode_pcm16(long_pcm, 2))
         hots.append(time.perf_counter() - t0)
-        ceils.append(long_s / (long_pcm.nbytes / bw))
+        floor_s = long_pcm.nbytes / bw_u + container_bytes / bw_d
+        ceils.append(long_s / floor_s)
     i = int(np.argmin(hots))
     ratios = [100.0 * (long_s / h) / c for h, c in zip(hots, ceils)]
     return {

@@ -254,6 +254,101 @@ def parse_segment_download(first: np.ndarray, out_d, *, k: int, valid: int,
     return nnz, scale, use_raw, wanted, pairs
 
 
+def _compact_budget_cap(k: int, C: int, n: int) -> int:
+    """Largest useful compact budget: past 50% kept density the packed
+    int32 pairs (4 B each) outweigh the dense int16 rows (2 B per slot),
+    so denser segments transfer FEWER bytes through the dense program."""
+    return k * C * n // 2
+
+
+def _budget_for(wanted: int, k: int, C: int, n: int) -> int:
+    """Smallest compact budget tier ≥ `wanted` (n/8 → n/4 → n/2 of the
+    coefficient slots).  Fixed tiers bound the compiled-program variants
+    per segment shape; the cut0 ladder keeps the actual pairs download
+    near 4·wanted bytes regardless of which tier ran."""
+    b1 = max(k * C * n // 8, 1 << 14)
+    for b in (b1, k * C * n // 4, k * C * n // 2):
+        if wanted <= b:
+            return b
+    raise AssertionError(
+        "wanted above the compact cap belongs to the dense program"
+    )
+
+
+def _reencode_overflow(xinter_dev, start, *, valid, k, wanted, tables,
+                       params, bb_mult, C, n):
+    """Re-encode one segment whose kept-pair count `wanted` overflowed the
+    dispatched compact budget (or was measured by a stats-only budget=0
+    dispatch).  Shared by the solo, single-segment-batch, and
+    segment-batched collect paths.
+
+    The program FAMILY is decided ONLY by the exact count: the dense int16
+    program iff wanted > k·C·n//2 — the byte crossover where 4-byte packed
+    pairs outweigh 2-byte dense rows — else the compact program with the
+    smallest budget tier that fits.  Compact tiers are exact integer
+    packings of identical math (every tier yields the same pairs), while
+    compact↔dense moves a ±1-ulp keep gate (see the dense branch below) —
+    so hanging the choice on `wanted` alone keeps the container bytes
+    independent of the encoder's adaptive prediction state
+    (tests/test_dense_fallback.py pins this determinism).
+
+    Returns (nnz [k,C] int64, scales [k,C] f32, use_raw [k] bool, pairs)
+    with pairs covering the `valid` frames; callers slice the stats to
+    their valid prefix.
+    """
+    from ..ops.decode import take_prefix_device
+
+    if wanted > _compact_budget_cap(k, C, n):
+        # Dense fallback: a DIFFERENT compiled program whose keep-gate can
+        # differ by ±1 ulp from the compacting program's — so nnz/scales/
+        # use_raw are taken from the dense program too, keeping the
+        # container self-consistent (pairs segmented by nnz).
+        q_d, nnz_d, scale_d, use_raw_d = encode_interleaved_dense_device(
+            xinter_dev, np.int32(start), *tables, k_frames=k, **params
+        )
+        # download only the valid prefix — bucket padding can be most of
+        # the tensor for a tail segment
+        q_np = np.asarray(take_prefix_device(q_d, valid))[:valid]
+        nnz = np.asarray(nnz_d).astype(np.int64)
+        scales = np.asarray(scale_d)
+        use_raw = np.asarray(use_raw_d)
+        fidx, cidx, kpos = np.nonzero(q_np)
+        pairs = np.empty(len(kpos), PAIR_DTYPE)
+        pairs["k"] = kpos.astype(np.uint16)
+        pairs["q"] = q_np[fidx, cidx, kpos]
+        return nnz, scales, use_raw, pairs
+
+    budget2 = _budget_for(wanted, k, C, n)
+    out2 = encode_interleaved_device(
+        xinter_dev, np.int32(start), *tables, k_frames=k, budget=budget2,
+        bb_mult=bb_mult, **params
+    )
+    S = k * (2 * C + 1)
+    cut0 = min(_len_bucket(wanted, 5), budget2)
+    first = np.asarray(out2[: S + cut0])
+    nnz, scale, use_raw, _w2, pairs = parse_segment_download(
+        first, out2, k=k, valid=valid, C=C, budget=budget2, cut0=cut0
+    )
+    return nnz, scale.copy(), np.asarray(use_raw), pairs
+
+
+def _pick_budget(hint, k: int, C: int, n: int) -> int:
+    """Dispatch-time compact budget from the measured density hint.
+
+    No hint → the standard n/8 tier.  A hint near the compact cap → 0
+    (the stats-only program: the compaction scatter is ~80% of the encode
+    program's on-chip cost and its packed download would be discarded, so
+    a predicted-dense segment measures its exact count cheaply first).
+    Otherwise the smallest tier covering the prediction + 25% margin."""
+    if hint is None:
+        return max(k * C * n // 8, 1 << 14)
+    cap = _compact_budget_cap(k, C, n)
+    pred = hint * k * C
+    if pred >= 0.8 * cap:
+        return 0
+    return _budget_for(min(int(pred * 1.25), cap), k, C, n)
+
+
 class Encoder:
     """reference src/codec.rs:396-418.
 
@@ -272,6 +367,14 @@ class Encoder:
         # adaptive guess for the single-transfer pair prefix (see collect
         # phase): last segment's kept-pair count, per channel count
         self._pair_guess: dict = {}
+        # measured kept-pair density (pairs per frame·channel), per channel
+        # count: sizes each segment's compact budget TIER at dispatch time
+        # so dense content doesn't pay a doomed standard-budget program +
+        # wasted packed download per segment before its fallback.  Purely
+        # a prediction — the program family actually used is decided by
+        # the exact per-segment count (_reencode_overflow), so this state
+        # can never change the container bytes.
+        self._density_hint: dict = {}
 
     def encode(self, samples: np.ndarray, channels: int) -> EncodedAudio:
         """Encode interleaved float32 PCM (codec.rs:421-565)."""
@@ -478,7 +581,14 @@ class Encoder:
             xb[j, : len(samples)] = samples
         xb_dev = upload_resident(xb)
 
-        budget = max(K * C * n // 8, 1 << 14)
+        # Tier the shared budget from the measured density (floor: the
+        # standard tier; no stats-only probes here — a batch's overflows
+        # re-dispatch per track via _reencode_overflow, which the solo
+        # program serves bit-identically).
+        budget = max(
+            _pick_budget(self._density_hint.get(C), K, C, n) or 0,
+            max(K * C * n // 8, 1 << 14),
+        )
         params = dict(
             pcm16=pcm16,
             quality=cfg.quality_factor,
@@ -517,25 +627,19 @@ class Encoder:
             scales = scale_v[:F].copy()
             use_raw = use_raw_v[:F]
             max_wanted = max(max_wanted, wanted)
+            self._density_hint[C] = wanted / (F * C)
 
-            if pairs is None:
-                # dense fallback, per track (atypically dense content)
-                q_d, nnz2_d, scale2_d, use_raw2_d = (
-                    encode_interleaved_dense_device(
-                        xb_dev[j], np.int32(0), *tables,
-                        k_frames=K, **params
-                    )
+            if pairs is None or wanted > _compact_budget_cap(K, C, n):
+                # overflow, per track: bigger compact tier or dense — the
+                # solo segment program is bit-identical to the batch body
+                nnz, scales, use_raw, pairs = _reencode_overflow(
+                    xb_dev[j], 0, valid=F, k=K, wanted=wanted,
+                    tables=tables, params=params,
+                    bb_mult=cfg.compact_bb_mult, C=C, n=n,
                 )
-                from ..ops.decode import take_prefix_device
-
-                q_np = np.asarray(take_prefix_device(q_d, F))[:F]
-                nnz = np.asarray(nnz2_d)[:F].astype(np.int64)
-                scales = np.asarray(scale2_d)[:F]
-                use_raw = np.asarray(use_raw2_d)[:F]
-                fidx, cidx, kpos = np.nonzero(q_np)
-                pairs = np.empty(len(kpos), PAIR_DTYPE)
-                pairs["k"] = kpos.astype(np.uint16)
-                pairs["q"] = q_np[fidx, cidx, kpos]
+                nnz = nnz[:F]
+                scales = scales[:F]
+                use_raw = use_raw[:F]
 
             if use_raw.any():
                 ridx = np.flatnonzero(use_raw).astype(np.int32)
@@ -583,7 +687,6 @@ class Encoder:
         call — the encode_many contract (tests pin this for heterogeneous
         lengths too).
         """
-        from ..ops.decode import take_prefix_device
         from ..ops.encode import (
             encode_interleaved_units_device,
             stack_padded_device,
@@ -637,7 +740,12 @@ class Encoder:
         # downloads pipeline on the link
         dispatched = []
         for k, units in units_by_k.items():
-            budget = max(k * C * n // 8, 1 << 14)
+            # shared tiered budget (floored at the standard tier, like the
+            # single-segment batch path — overflows re-dispatch per unit)
+            budget = max(
+                _pick_budget(self._density_hint.get(C), k, C, n) or 0,
+                max(k * C * n // 8, 1 << 14),
+            )
             guess = self._pair_guess.get((C, k), max(budget // 8, 1 << 14))
             cut0 = min(_len_bucket(guess, 5), budget)
             S = k * (2 * C + 1)
@@ -673,25 +781,16 @@ class Encoder:
                     cut0=cut0,
                 )
                 max_wanted = max(max_wanted, wanted)
-                if pairs is None:
-                    # dense fallback for an atypically dense segment: a
-                    # DIFFERENT compiled program whose keep-gate can differ
-                    # by ±1 ulp, so nnz/scales/use_raw come from it too
-                    # (same rule as the solo path)
-                    q_d, nnz2_d, scale2_d, use_raw2_d = (
-                        encode_interleaved_dense_device(
-                            xb_dev[j], np.int32(start), *tables,
-                            k_frames=k, **params
-                        )
+                if pairs is None or wanted > _compact_budget_cap(k, C, n):
+                    # overflow (or a count past the byte crossover that a
+                    # floored dispatch budget happened to cover): re-run
+                    # through the program family the exact count calls for
+                    # — same rule as every other site
+                    nnz, scale, use_raw, pairs = _reencode_overflow(
+                        xb_dev[j], start, valid=valid, k=k, wanted=wanted,
+                        tables=tables, params=params,
+                        bb_mult=cfg.compact_bb_mult, C=C, n=n,
                     )
-                    q_np = np.asarray(take_prefix_device(q_d, valid))[:valid]
-                    nnz = np.asarray(nnz2_d)
-                    scale = np.asarray(scale2_d)
-                    use_raw = np.asarray(use_raw2_d)
-                    fidx, cidx, kpos = np.nonzero(q_np)
-                    pairs = np.empty(len(kpos), PAIR_DTYPE)
-                    pairs["k"] = kpos.astype(np.uint16)
-                    pairs["q"] = q_np[fidx, cidx, kpos]
                 per_track[j][start] = (
                     nnz[:valid], scale[:valid], use_raw[:valid], pairs
                 )
@@ -825,41 +924,24 @@ class Encoder:
                 cut0=cut0,
             )
             self._pair_guess[(C, k)] = wanted + wanted // 4 + 1
+            self._density_hint[C] = wanted / (valid * C)
+
+            if pairs is None or wanted > _compact_budget_cap(k, C, n):
+                # Overflow (or a stats-only budget=0 probe, or a count past
+                # the byte crossover that a floored budget happened to
+                # cover): re-dispatch the program the exact count calls for
+                # — a bigger compact tier, or the dense program past the
+                # byte crossover.
+                nnz, scale, use_raw, pairs = _reencode_overflow(
+                    xinter_dev, start, valid=valid, k=k, wanted=wanted,
+                    tables=tables, params=params,
+                    bb_mult=cfg.compact_bb_mult, C=C, n=n,
+                )
 
             nnz_all[start : start + valid] = nnz[:valid]
             scales_all[start : start + valid] = scale[:valid]
             raw_mask_all[start : start + valid] = use_raw[:valid]
-
-            if pairs is not None:
-                if wanted:
-                    pair_parts.append(pairs)
-            else:
-                # Dense fallback for atypically dense segments.  It is a
-                # DIFFERENT compiled program, whose keep-gate can differ by
-                # ±1 ulp from the compacting program's — so nnz/scales/
-                # use_raw are taken from the dense program too, keeping the
-                # container self-consistent (pairs segmented by nnz).
-                q_d, nnz2_d, scale2_d, use_raw2_d = (
-                    encode_interleaved_dense_device(
-                        xinter_dev, np.int32(start), *tables,
-                        k_frames=k, **params
-                    )
-                )
-                from ..ops.decode import take_prefix_device
-
-                # download only the valid prefix — bucket padding can be
-                # most of the tensor for a tail segment
-                q_np = np.asarray(take_prefix_device(q_d, valid))[:valid]
-                nnz_all[start : start + valid] = np.asarray(nnz2_d)[:valid]
-                scales_all[start : start + valid] = (
-                    np.asarray(scale2_d)[:valid]
-                )
-                use_raw = np.asarray(use_raw2_d)
-                raw_mask_all[start : start + valid] = use_raw[:valid]
-                fidx, cidx, kpos = np.nonzero(q_np)
-                pairs = np.empty(len(kpos), PAIR_DTYPE)
-                pairs["k"] = kpos.astype(np.uint16)
-                pairs["q"] = q_np[fidx, cidx, kpos]
+            if wanted or len(pairs):
                 pair_parts.append(pairs)
 
             if use_raw[:valid].any():
@@ -884,7 +966,7 @@ class Encoder:
 
         for start, k in plan:
             valid = min(k, F - start)
-            budget = max(k * C * n // 8, 1 << 14)
+            budget = _pick_budget(self._density_hint.get(C), k, C, n)
             out_d = encode_interleaved_device(
                 xinter_dev, np.int32(start), *tables,
                 k_frames=k, budget=budget,

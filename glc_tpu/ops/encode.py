@@ -326,8 +326,6 @@ def _encode_signal_body(
     q = jnp.where(use_raw[:, None, None], jnp.int16(0), q)
     nnz = jnp.where(use_raw[:, None], 0, nnz)
 
-    packed = _compact_pairs_auto(q, nnz, n, budget, bb_mult)
-
     stats = jnp.concatenate(
         [
             nnz,
@@ -336,6 +334,15 @@ def _encode_signal_body(
         ],
         axis=1,
     )
+    if budget == 0:
+        # Stats-only program: the compaction scatter is ~80% of the encode
+        # program's on-chip cost, so when the host PREDICTS the segment is
+        # too dense for any compact budget it first dispatches this cheap
+        # variant, reads the exact pair count from the stats, and only then
+        # picks the right transfer program (encoder._reencode_overflow).
+        return stats.reshape(-1)
+
+    packed = _compact_pairs_auto(q, nnz, n, budget, bb_mult)
     return jnp.concatenate([stats.reshape(-1), packed])
 
 
