@@ -606,18 +606,28 @@ def _album120_bench(enc, dec, sample_rate, runs) -> None:
     dur120 = 480.0
     track120 = make_signal_i16(120.0, sample_rate)
     tracks120 = [(track120, 2)] * 4
-    reps120 = max(3, runs // 3)
+    reps120 = max(5, runs // 2)
     enc.encode_many(tracks120)                        # warm segmented path
     [enc.encode_pcm16(t, c) for t, c in tracks120]    # warm serial
+    # A/B order ALTERNATES per rep: the wire's bandwidth phases last
+    # seconds-to-minutes, so a fixed batched-then-serial order lets one
+    # phase boundary systematically favor whichever side runs second
+    # (observed: three same-signed 0.36x decode reps from identical code
+    # paths); alternation turns a phase into symmetric noise the median
+    # absorbs
     e_t, s_t = [], []
-    for _ in range(reps120):
-        t0 = time.perf_counter()
-        many120 = [serialize_encoded(e) for e in enc.encode_many(tracks120)]
-        e_t.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        ser120 = [serialize_encoded(enc.encode_pcm16(t, c))
-                  for t, c in tracks120]
-        s_t.append(time.perf_counter() - t0)
+    for r in range(reps120):
+        for side in ((0, 1) if r % 2 == 0 else (1, 0)):
+            if side == 0:
+                t0 = time.perf_counter()
+                many120 = [serialize_encoded(e)
+                           for e in enc.encode_many(tracks120)]
+                e_t.append(time.perf_counter() - t0)
+            else:
+                t0 = time.perf_counter()
+                ser120 = [serialize_encoded(enc.encode_pcm16(t, c))
+                          for t, c in tracks120]
+                s_t.append(time.perf_counter() - t0)
     assert many120 == ser120, "segmented album encode must be bit-identical"
     vs120 = float(np.median([s_ / a for a, s_ in zip(e_t, s_t)]))
     emit(
@@ -637,13 +647,16 @@ def _album120_bench(enc, dec, sample_rate, runs) -> None:
     dec.decode_many(eas120)                           # warm segmented path
     [dec.decode_i16(ea) for ea in eas120]             # warm serial
     de_t, ds_t = [], []
-    for _ in range(reps120):
-        t0 = time.perf_counter()
-        outs_b120 = dec.decode_many(eas120)
-        de_t.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        outs_s120 = [dec.decode_i16(ea) for ea in eas120]
-        ds_t.append(time.perf_counter() - t0)
+    for r in range(reps120):                          # alternating A/B
+        for side in ((0, 1) if r % 2 == 0 else (1, 0)):
+            if side == 0:
+                t0 = time.perf_counter()
+                outs_b120 = dec.decode_many(eas120)
+                de_t.append(time.perf_counter() - t0)
+            else:
+                t0 = time.perf_counter()
+                outs_s120 = [dec.decode_i16(ea) for ea in eas120]
+                ds_t.append(time.perf_counter() - t0)
     for ob, os_ in zip(outs_b120, outs_s120):
         assert len(ob) == len(os_)
         assert int(np.abs(ob.astype(np.int32)
@@ -657,7 +670,8 @@ def _album120_bench(enc, dec, sample_rate, runs) -> None:
     print(
         f"# album decode 4x120s stereo: batched {min(de_t)*1000:.0f} ms vs "
         f"serial {min(ds_t)*1000:.0f} ms (median per-rep {vs_d120:.2f}x, "
-        f"<=1 LSB)",
+        f"<=1 LSB; "
+        + " ".join(f"{s_/a:.2f}x" for a, s_ in zip(de_t, ds_t)) + ")",
         file=sys.stderr,
     )
 
