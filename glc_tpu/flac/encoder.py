@@ -230,6 +230,53 @@ def _pack(i16, channels, sample_rate, compression_level, md5,
     )
 
 
+def _pack_frames_native(lib, i16, channels, sample_rate, level,
+                        block_sizes, first_frame, residuals,
+                        rice_params) -> bytes:
+    """Pack a RANGE of frames (no stream header) via glc_flac_pack_frames.
+
+    FLAC frames are byte-aligned and self-contained, so groups packed as
+    their stats complete concatenate into exactly the bytes the
+    whole-stream packer emits."""
+    c = ctypes
+    out_ptr = c.POINTER(c.c_uint8)()
+    out_len = c.c_int64()
+    i16c = np.ascontiguousarray(i16, "<i2")
+    resc = np.ascontiguousarray(residuals, np.int32)
+    rpc = np.ascontiguousarray(rice_params, np.int8)
+    bsc = np.ascontiguousarray(block_sizes, np.int32)
+    rc = lib.glc_flac_pack_frames(
+        i16c.ctypes.data_as(c.POINTER(c.c_int16)), len(i16c), channels,
+        sample_rate, level,
+        bsc.ctypes.data_as(c.POINTER(c.c_int32)), len(bsc),
+        first_frame,
+        resc.ctypes.data_as(c.POINTER(c.c_int32)),
+        rpc.ctypes.data_as(c.POINTER(c.c_int8)),
+        c.byref(out_ptr), c.byref(out_len),
+    )
+    if rc != 0:
+        raise FlacError(f"native FLAC frame packer failed: {rc}")
+    try:
+        return bytes(c.cast(
+            out_ptr, c.POINTER(c.c_uint8 * out_len.value)
+        ).contents)
+    finally:
+        lib.glc_free(out_ptr)
+
+
+def _streaminfo_header(channels: int, sample_rate: int, nominal_bs: int,
+                       total_per_channel: int, md5: bytes) -> bytes:
+    """The 42-byte fLaC + STREAMINFO prefix, bit-for-bit what the native
+    whole-stream packer writes (glc_native.cpp flac_pack_impl; reference
+    flac.rs:907-944): min/max block size = nominal, frame sizes unknown."""
+    v = 0
+    for val, n in ((nominal_bs, 16), (nominal_bs, 16), (0, 24), (0, 24),
+                   (sample_rate, 20), (channels - 1, 3), (15, 5),
+                   (total_per_channel, 36)):
+        v = (v << n) | (val & ((1 << n) - 1))
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + v.to_bytes(18, "big") + md5
+
+
 def encode_flac_i16_streaming(
     chunks,
     sample_rate: int,
@@ -240,12 +287,15 @@ def encode_flac_i16_streaming(
     """Encode from an iterator of int16 interleaved chunks, byte-identical
     to `encode_flac_i16_with_level` over their concatenation.
 
-    The MD5 and the per-block predictor/Rice math run incrementally as
-    chunks arrive, so a producer that is waiting on device transfers (the
-    decode→export path, `Decoder.decode_i16_stream`) overlaps this host
-    work with its own stalls.  Only the final bit-packing sees the whole
-    stream (it needs every residual anyway), and it is unchanged — which is
-    what guarantees byte identity.
+    The MD5, the per-block predictor/Rice math, AND (with the native
+    library) the frame bit-packing all run incrementally as chunks arrive,
+    so a producer that is waiting on device transfers (the decode→export
+    path, `Decoder.decode_i16_stream`) overlaps this host work with its
+    own stalls.  FLAC frames are byte-aligned and self-contained, so
+    packing each group as its stats complete and joining header + chunks
+    at end-of-stream emits exactly the whole-stream packer's bytes; only
+    the 42-byte STREAMINFO header needs end-of-stream data (the MD5).
+    Without the native library the bit-packing remains one final _pack.
 
     `total_per_channel` must be the exact final per-channel sample count
     (known up front from the container header): the block size depends on
@@ -275,12 +325,43 @@ def encode_flac_i16_streaming(
     bs = max(min(_LEVEL_BLOCK_SIZE[compression_level], total_per_channel), 16)
     group = bs * channels * 16  # process 16 blocks at a time
 
+    # Incremental frame packing: with the native library, each group's
+    # frames are PACKED as their stats complete (on the same worker),
+    # overlapping the bit-pack with later chunks' transfers — the final
+    # step is just header + join.  Frames are byte-aligned and
+    # self-contained, so the bytes are identical to the whole-stream
+    # packer's (GLC_FLAC_WHOLE_PACK=1 forces the old single final _pack;
+    # the streaming-equivalence tests pin byte identity either way).
+    lib = get_native()
+    incremental = (
+        lib is not None
+        and hasattr(lib, "glc_flac_pack_frames")
+        and os.environ.get("GLC_FLAC_WHOLE_PACK") != "1"
+    )
+
     md5 = hashlib.md5()
     parts = []
+    total_len = 0
     pending = []
     pending_len = 0
     res_parts = []
     rp_parts = []
+    frame_bytes = []
+    frames_packed = 0
+
+    def emit_group(buf: np.ndarray, gbs: int, r, p):
+        """Pack the group's frames now (incremental) or defer to _pack."""
+        nonlocal frames_packed
+        if incremental:
+            G = len(buf) // (gbs * channels)
+            frame_bytes.append(_pack_frames_native(
+                lib, buf, channels, sample_rate, compression_level,
+                np.full(G, gbs, np.int32), frames_packed, r, p,
+            ))
+            frames_packed += G
+        else:
+            res_parts.append(r)
+            rp_parts.append(p)
 
     def process(buf: np.ndarray):
         """buf: [G·bs·channels] interleaved — G whole blocks."""
@@ -289,13 +370,14 @@ def encode_flac_i16_streaming(
             buf.reshape(G, bs, channels).transpose(0, 2, 1).astype(np.int32)
         )
         r, p = _block_group_stats(blocks, bs, compression_level)
-        res_parts.append(r)
-        rp_parts.append(p)
+        emit_group(buf, bs, r, p)
 
     def ingest(chunk: np.ndarray):
-        nonlocal pending, pending_len
+        nonlocal pending, pending_len, total_len
         md5.update(chunk.astype("<i2").tobytes())
-        parts.append(chunk)
+        total_len += len(chunk)
+        if not incremental:
+            parts.append(chunk)
         pending.append(chunk)
         pending_len += len(chunk)
         while pending_len >= group:
@@ -338,8 +420,7 @@ def encode_flac_i16_streaming(
         if err:
             raise err[0]
 
-    i16 = np.concatenate(parts) if parts else np.empty(0, np.int16)
-    total = len(i16) // channels
+    total = total_len // channels
     if total != total_per_channel:
         raise FlacError(
             f"stream length {total} != declared total {total_per_channel}"
@@ -356,21 +437,27 @@ def encode_flac_i16_streaming(
             # slice exactly last*channels — a ragged interleaved stream
             # (len % channels != 0, which frame_signal accepts on encode)
             # leaves a fractional sample the batch framer also drops
+            tb = np.ascontiguousarray(tail[: last * channels])
             blocks = (
-                tail[: last * channels]
-                .reshape(1, last, channels)
+                tb.reshape(1, last, channels)
                 .transpose(0, 2, 1)
                 .astype(np.int32)
             )
             r, p = _block_group_stats(blocks, last, compression_level)
-            res_parts.append(r)
-            rp_parts.append(p)
+            emit_group(tb, last, r, p)
 
     F0 = total // bs
     last = total - F0 * bs
     block_sizes = np.asarray(
         [bs] * F0 + ([last] if last > 0 else []), np.int32
     )
+    if incremental:
+        nominal = int(block_sizes[0]) if len(block_sizes) else 0
+        return _streaminfo_header(
+            channels, sample_rate, nominal, total, md5.digest()
+        ) + b"".join(frame_bytes)
+
+    i16 = np.concatenate(parts) if parts else np.empty(0, np.int16)
     residuals = (
         np.concatenate(res_parts) if res_parts else np.empty(0, np.int32)
     )

@@ -54,6 +54,16 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.POINTER(c.c_int32), c.POINTER(c.c_int8),  # residuals, rice_params
         c.POINTER(c.POINTER(c.c_uint8)), c.POINTER(c.c_int64),
     ]
+    if hasattr(lib, "glc_flac_pack_frames"):  # absent in pre-r4 builds
+        lib.glc_flac_pack_frames.restype = c.c_int64
+        lib.glc_flac_pack_frames.argtypes = [
+            c.POINTER(c.c_int16), c.c_int64, c.c_int32, c.c_uint32,
+            c.c_int32,
+            c.POINTER(c.c_int32), c.c_int32,        # block_sizes, num_frames
+            c.c_int64,                              # first_frame
+            c.POINTER(c.c_int32), c.POINTER(c.c_int8),
+            c.POINTER(c.POINTER(c.c_uint8)), c.POINTER(c.c_int64),
+        ]
     lib.glc_free.restype = None
     lib.glc_free.argtypes = [c.c_void_p]
     if hasattr(lib, "glc_flac_block_stats"):  # absent in pre-r4 builds

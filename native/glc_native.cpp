@@ -302,7 +302,7 @@ namespace {
 // frame loop.
 void pack_one_frame(BitWriter& w, const int16_t* samples, int64_t sample_off,
                     int32_t channels, uint32_t sample_rate, int32_t level,
-                    int f, int bs, const int32_t* res_base,
+                    int64_t f, int bs, const int32_t* res_base,
                     const int8_t* rp_base) {
   const int bps = 16;
   size_t frame_start = w.byte_len();
@@ -393,13 +393,21 @@ void pack_one_frame(BitWriter& w, const int16_t* samples, int64_t sample_off,
 
 namespace {
 
-int64_t flac_pack_impl(
+// Pack frames [first_frame, first_frame + num_frames) ONLY — no stream
+// header.  FLAC frames are byte-aligned and self-contained (CRCs cover
+// only the frame's own bytes; the frame number rides in the header via
+// UTF-8 coding), so a streaming caller can pack each group of blocks as
+// its stats complete — overlapping the pack with later transfers — and
+// assemble header + chunks at end-of-stream, byte-identical to the
+// whole-stream packer below.
+int64_t flac_pack_frames_impl(
     const int16_t* samples, int64_t n_total, int32_t channels,
-    uint32_t sample_rate, int32_t level, const uint8_t* md5,
-    const int32_t* block_sizes, int32_t num_frames,
+    uint32_t sample_rate, int32_t level,
+    const int32_t* block_sizes, int32_t num_frames, int64_t first_frame,
     const int32_t* residuals, const int8_t* rice_params,
     uint8_t** out, int64_t* out_len) {
   if (channels < 1 || channels > 8 || level < 0 || level > 8) return -1;
+  if (first_frame < 0) return -5;
   // validate frame geometry before any buffer math (OOB reads otherwise)
   {
     int64_t covered = 0;
@@ -410,28 +418,7 @@ int64_t flac_pack_impl(
     }
     if (covered > n_total) return -4;
   }
-  const int bps = 16;
 
-  BitWriter w;
-  w.write_bits(0x664C6143ULL, 32);  // "fLaC"
-
-  // STREAMINFO (reference flac.rs:907-944): min/max block size are the
-  // nominal block size, frame sizes unknown (0)
-  int nominal_bs = num_frames > 0 ? block_sizes[0] : 0;
-  w.write_bits(1, 1);                 // last metadata block
-  w.write_bits(0, 7);                 // type streaminfo
-  w.write_bits(34, 24);               // length
-  w.write_bits((uint64_t)nominal_bs, 16);
-  w.write_bits((uint64_t)nominal_bs, 16);
-  w.write_bits(0, 24);
-  w.write_bits(0, 24);
-  w.write_bits(sample_rate, 20);
-  w.write_bits((uint64_t)(channels - 1), 3);
-  w.write_bits((uint64_t)(bps - 1), 5);
-  w.write_bits((uint64_t)(n_total / channels), 36);
-  for (int i = 0; i < 16; i++) w.write_bits(md5[i], 8);
-
-  (void)bps;
   // Precompute per-frame offsets (deterministic from block sizes/level)
   std::vector<int64_t> s_off(num_frames), r_off(num_frames), p_off(num_frames);
   {
@@ -460,7 +447,7 @@ int64_t flac_pack_impl(
   auto work = [&](int t) {
     for (int f = t; f < num_frames; f += T)
       pack_one_frame(frames[(size_t)f], samples, s_off[f], channels,
-                     sample_rate, level, f, block_sizes[f],
+                     sample_rate, level, first_frame + f, block_sizes[f],
                      residuals + r_off[f], rice_params + p_off[f]);
   };
   if (T == 1) {
@@ -472,17 +459,62 @@ int64_t flac_pack_impl(
     for (auto& th : threads) th.join();
   }
 
-  int64_t total = (int64_t)w.buf.size();
+  int64_t total = 0;
   for (auto& fw : frames) total += (int64_t)fw.buf.size();
-  uint8_t* p = (uint8_t*)std::malloc((size_t)total);
+  uint8_t* p = (uint8_t*)std::malloc((size_t)(total ? total : 1));
   if (!p) return -2;
   uint8_t* dst = p;
-  std::memcpy(dst, w.buf.data(), w.buf.size());
-  dst += w.buf.size();
   for (auto& fw : frames) {
     std::memcpy(dst, fw.buf.data(), fw.buf.size());
     dst += fw.buf.size();
   }
+  *out = p;
+  *out_len = total;
+  return 0;
+}
+
+int64_t flac_pack_impl(
+    const int16_t* samples, int64_t n_total, int32_t channels,
+    uint32_t sample_rate, int32_t level, const uint8_t* md5,
+    const int32_t* block_sizes, int32_t num_frames,
+    const int32_t* residuals, const int8_t* rice_params,
+    uint8_t** out, int64_t* out_len) {
+  if (channels < 1 || channels > 8 || level < 0 || level > 8) return -1;
+  const int bps = 16;
+
+  BitWriter w;
+  w.write_bits(0x664C6143ULL, 32);  // "fLaC"
+
+  // STREAMINFO (reference flac.rs:907-944): min/max block size are the
+  // nominal block size, frame sizes unknown (0)
+  int nominal_bs = num_frames > 0 ? block_sizes[0] : 0;
+  w.write_bits(1, 1);                 // last metadata block
+  w.write_bits(0, 7);                 // type streaminfo
+  w.write_bits(34, 24);               // length
+  w.write_bits((uint64_t)nominal_bs, 16);
+  w.write_bits((uint64_t)nominal_bs, 16);
+  w.write_bits(0, 24);
+  w.write_bits(0, 24);
+  w.write_bits(sample_rate, 20);
+  w.write_bits((uint64_t)(channels - 1), 3);
+  w.write_bits((uint64_t)(bps - 1), 5);
+  w.write_bits((uint64_t)(n_total / channels), 36);
+  for (int i = 0; i < 16; i++) w.write_bits(md5[i], 8);
+  (void)bps;
+
+  uint8_t* fp = nullptr;
+  int64_t fl = 0;
+  int64_t rc = flac_pack_frames_impl(samples, n_total, channels, sample_rate,
+                                     level, block_sizes, num_frames, 0,
+                                     residuals, rice_params, &fp, &fl);
+  if (rc != 0) return rc;
+
+  int64_t total = (int64_t)w.buf.size() + fl;
+  uint8_t* p = (uint8_t*)std::malloc((size_t)total);
+  if (!p) { std::free(fp); return -2; }
+  std::memcpy(p, w.buf.data(), w.buf.size());
+  std::memcpy(p + w.buf.size(), fp, (size_t)fl);
+  std::free(fp);
   *out = p;
   *out_len = total;
   return 0;
@@ -500,6 +532,21 @@ extern "C" int64_t glc_flac_pack(
     return flac_pack_impl(samples, n_total, channels, sample_rate, level,
                           md5, block_sizes, num_frames, residuals,
                           rice_params, out, out_len);
+  } catch (...) {
+    return -99;
+  }
+}
+
+extern "C" int64_t glc_flac_pack_frames(
+    const int16_t* samples, int64_t n_total, int32_t channels,
+    uint32_t sample_rate, int32_t level,
+    const int32_t* block_sizes, int32_t num_frames, int64_t first_frame,
+    const int32_t* residuals, const int8_t* rice_params,
+    uint8_t** out, int64_t* out_len) {
+  try {
+    return flac_pack_frames_impl(samples, n_total, channels, sample_rate,
+                                 level, block_sizes, num_frames, first_frame,
+                                 residuals, rice_params, out, out_len);
   } catch (...) {
     return -99;
   }

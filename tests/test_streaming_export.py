@@ -84,6 +84,21 @@ def test_streaming_flac_length_mismatch_rejected():
         encode_flac_i16_streaming(iter([i16]), 44100, 1, 5, 999)
 
 
+def test_streaming_flac_incremental_matches_whole_pack(monkeypatch):
+    """Per-group incremental frame packing (glc_flac_pack_frames as each
+    group's stats complete, header + join at end-of-stream) is
+    byte-identical to the single final whole-stream pack
+    (GLC_FLAC_WHOLE_PACK=1) — frames are byte-aligned and
+    self-contained, so WHEN they are packed cannot change the bytes."""
+    rng = np.random.default_rng(2)
+    i16 = (rng.standard_normal(4096 * 33 + 777) * 6000).astype(np.int16)
+    chunks = np.split(i16, [10000, 50000, 90000])
+    a = encode_flac_i16_streaming(iter(chunks), 44100, 1, 5, len(i16))
+    monkeypatch.setenv("GLC_FLAC_WHOLE_PACK", "1")
+    b = encode_flac_i16_streaming(iter(chunks), 44100, 1, 5, len(i16))
+    assert a == b
+
+
 def test_cli_decode_uses_streaming_path(tmp_path, capsys):
     """The CLI flac export (now streamed) produces the same bytes and the
     same printed output shape as before."""
