@@ -149,14 +149,23 @@ def _build_final_line(flagship: dict, summary: dict) -> str:
     artifact again (tests/test_bench_contract.py pins this with
     representative data)."""
     line = dict(flagship)
-    line["summary"] = summary
+    line["summary"] = dict(summary)
     s = json.dumps(line, separators=(",", ":"))
     if len(s) >= 1500:
-        # hard guard: shed verbose sub-keys before ever exceeding the tail
+        # hard guard ladder: shed verbose sub-keys, then drop whole
+        # summary entries (least-important last-inserted first), then the
+        # summary itself — the flagship metric dict must ALWAYS survive
+        # intact, whatever future metrics get added
         for d in line["summary"].values():
             if isinstance(d, dict):
                 d.pop("runs", None)
         s = json.dumps(line, separators=(",", ":"))
+        while len(s) >= 1500 and line["summary"]:
+            line["summary"].pop(next(reversed(line["summary"])))
+            s = json.dumps(line, separators=(",", ":"))
+        if len(s) >= 1500:
+            line.pop("summary", None)
+            s = json.dumps(line, separators=(",", ":"))
     return s
 
 

@@ -349,6 +349,22 @@ def _pick_budget(hint, k: int, C: int, n: int) -> int:
     return _budget_for(min(int(pred * 1.25), cap), k, C, n)
 
 
+def _pick_batch_budget(hint, k: int, C: int, n: int) -> int:
+    """Dispatch-time SHARED budget for the batch/segment-group programs
+    (no stats-only probes there: one program serves every track/unit, so
+    a budget=0 dispatch would discard the whole batch's work).  A dense
+    prediction dispatches the n/2 CAP tier — tracks whose exact count
+    lands ≤ cap are then served from the one batch download, and only
+    genuinely past-crossover tracks re-dispatch (dense, per track);
+    mapping the sentinel to the floor instead would guarantee a doomed
+    dispatch + per-track re-dispatch for every dense-but-compressible
+    track.  Floored at the standard tier either way."""
+    tier = _pick_budget(hint, k, C, n)
+    if tier == 0:
+        tier = _compact_budget_cap(k, C, n)
+    return max(tier, k * C * n // 8, 1 << 14)
+
+
 class Encoder:
     """reference src/codec.rs:396-418.
 
@@ -581,14 +597,11 @@ class Encoder:
             xb[j, : len(samples)] = samples
         xb_dev = upload_resident(xb)
 
-        # Tier the shared budget from the measured density (floor: the
-        # standard tier; no stats-only probes here — a batch's overflows
-        # re-dispatch per track via _reencode_overflow, which the solo
-        # program serves bit-identically).
-        budget = max(
-            _pick_budget(self._density_hint.get(C), K, C, n) or 0,
-            max(K * C * n // 8, 1 << 14),
-        )
+        # Tier the shared budget from the measured density (dense hint →
+        # the cap tier; overflows past the byte crossover re-dispatch per
+        # track via _reencode_overflow, which the solo program serves
+        # bit-identically).
+        budget = _pick_batch_budget(self._density_hint.get(C), K, C, n)
         params = dict(
             pcm16=pcm16,
             quality=cfg.quality_factor,
@@ -740,12 +753,10 @@ class Encoder:
         # downloads pipeline on the link
         dispatched = []
         for k, units in units_by_k.items():
-            # shared tiered budget (floored at the standard tier, like the
-            # single-segment batch path — overflows re-dispatch per unit)
-            budget = max(
-                _pick_budget(self._density_hint.get(C), k, C, n) or 0,
-                max(k * C * n // 8, 1 << 14),
-            )
+            # shared tiered budget (dense hint → cap tier, like the
+            # single-segment batch path — only past-crossover units
+            # re-dispatch via _reencode_overflow)
+            budget = _pick_batch_budget(self._density_hint.get(C), k, C, n)
             guess = self._pair_guess.get((C, k), max(budget // 8, 1 << 14))
             cut0 = min(_len_bucket(guess, 5), budget)
             S = k * (2 * C + 1)

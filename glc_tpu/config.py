@@ -59,11 +59,13 @@ class CodecConfig:
     # device): every same-shape segment of every track in one lax.map
     # dispatch, carries chained on device.  Off by default: on a host link
     # where the WIRE is the constraint (this environment's relay), the
-    # interleaved streaming pipeline measures 1.2-1.4× faster than both
-    # the batched dispatch and the serial loop at 4×120 s, because decode
-    # is download-wire-bound and encode upload-wire-bound — keeping the
-    # wire saturated beats reducing dispatch count (STATUS.md round-4
-    # measurements).  Turn on for fast-interconnect deployments (PCIe)
+    # default paths beat or match it at 4×120 s — ENCODE's full-depth
+    # interleaved pipeline measures ~1.1-1.3× vs the serial loop (batched
+    # 0.75-0.9×), while DECODE is download-wire-bound: every structure
+    # lands within wire-phase noise of the serial loop, the batched
+    # dispatch 0.75-0.85× BELOW it — keeping the wire saturated beats
+    # reducing dispatch count (STATUS.md round-4 measurements).  Turn on
+    # for fast-interconnect deployments (PCIe)
     # where per-dispatch overhead dominates transfer time.  Both paths are
     # correctness-tested; encode is bit-identical either way.
     segmented_batch: bool = False

@@ -405,7 +405,8 @@ int64_t flac_pack_frames_impl(
     uint32_t sample_rate, int32_t level,
     const int32_t* block_sizes, int32_t num_frames, int64_t first_frame,
     const int32_t* residuals, const int8_t* rice_params,
-    uint8_t** out, int64_t* out_len) {
+    uint8_t** out, int64_t* out_len,
+    const uint8_t* prefix = nullptr, int64_t prefix_len = 0) {
   if (channels < 1 || channels > 8 || level < 0 || level > 8) return -1;
   if (first_frame < 0) return -5;
   // validate frame geometry before any buffer math (OOB reads otherwise)
@@ -459,11 +460,15 @@ int64_t flac_pack_frames_impl(
     for (auto& th : threads) th.join();
   }
 
-  int64_t total = 0;
+  int64_t total = prefix_len;
   for (auto& fw : frames) total += (int64_t)fw.buf.size();
   uint8_t* p = (uint8_t*)std::malloc((size_t)(total ? total : 1));
   if (!p) return -2;
   uint8_t* dst = p;
+  if (prefix_len) {
+    std::memcpy(dst, prefix, (size_t)prefix_len);
+    dst += prefix_len;
+  }
   for (auto& fw : frames) {
     std::memcpy(dst, fw.buf.data(), fw.buf.size());
     dst += fw.buf.size();
@@ -502,22 +507,12 @@ int64_t flac_pack_impl(
   for (int i = 0; i < 16; i++) w.write_bits(md5[i], 8);
   (void)bps;
 
-  uint8_t* fp = nullptr;
-  int64_t fl = 0;
-  int64_t rc = flac_pack_frames_impl(samples, n_total, channels, sample_rate,
-                                     level, block_sizes, num_frames, 0,
-                                     residuals, rice_params, &fp, &fl);
-  if (rc != 0) return rc;
-
-  int64_t total = (int64_t)w.buf.size() + fl;
-  uint8_t* p = (uint8_t*)std::malloc((size_t)total);
-  if (!p) { std::free(fp); return -2; }
-  std::memcpy(p, w.buf.data(), w.buf.size());
-  std::memcpy(p + w.buf.size(), fp, (size_t)fl);
-  std::free(fp);
-  *out = p;
-  *out_len = total;
-  return 0;
+  // header rides as a prefix into the frame packer's single allocation —
+  // no second full-stream malloc+memcpy
+  return flac_pack_frames_impl(samples, n_total, channels, sample_rate,
+                               level, block_sizes, num_frames, 0,
+                               residuals, rice_params, out, out_len,
+                               w.buf.data(), (int64_t)w.buf.size());
 }
 
 }  // namespace
