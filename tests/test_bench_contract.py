@@ -85,6 +85,21 @@ def test_oversize_summary_sheds_runs_not_flagship():
     assert "runs" not in d["summary"]["long600"]
 
 
+def test_pathological_summary_never_breaks_flagship():
+    """The guard ladder's last rungs: wide non-runs payloads force whole
+    summary entries (then the summary itself) to be shed — the flagship
+    metric dict must survive intact at ANY summary size."""
+    summary = _representative_summary()
+    for i in range(60):  # many future metrics, each with wide payloads
+        summary[f"future_metric_{i}"] = {"x": 8888.8, "med": 8888.8,
+                                         "note": "y" * 40}
+    s = bench._build_final_line(_representative_flagship(), summary)
+    d = json.loads(s)
+    assert len(s) < 1500
+    assert d["metric"] == "encode_realtime_factor_44k_stereo"
+    assert d["pct_of_link_ceiling"] == 100.0
+
+
 def test_emit_records_summary_keys():
     bench.SUMMARY.clear()
     line = bench.emit("decode_realtime_factor_44k_stereo", 60.0, 0.3, 0.32,
