@@ -757,7 +757,8 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
         f"# compaction: max per-(frame,channel) nnz = {max_row_nnz} "
         f"(two-stage blocked compaction: 128-wide block gather then "
         f"element scatter over kept blocks only — replaced the single "
-        f"full element scatter, 49 -> 36 ms on the 4096-frame program)",
+        f"full element scatter; bb_mult sweep on this program: 5 -> 34.0, "
+        f"6 -> 39.2, legacy 49.7 ms)",
         file=sys.stderr,
     )
 
