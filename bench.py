@@ -615,7 +615,12 @@ def _album120_bench(enc, dec, sample_rate, runs) -> None:
     dur120 = 480.0
     track120 = make_signal_i16(120.0, sample_rate)
     tracks120 = [(track120, 2)] * 4
-    reps120 = max(5, runs // 2)
+    # 7 reps: at ~4-7 s per side the per-rep ratios span 0.5-1.6x of pure
+    # wire noise (the batched decode path at the default interleave cap IS
+    # the serial path, so its true ratio is 1.0 by construction) — 5 reps
+    # let two bad phases drag the median to 0.8x; 7 costs ~40 s more and
+    # halves that leverage
+    reps120 = max(7, runs // 2)
     enc.encode_many(tracks120)                        # warm segmented path
     [enc.encode_pcm16(t, c) for t, c in tracks120]    # warm serial
     # A/B order ALTERNATES per rep: the wire's bandwidth phases last
@@ -755,10 +760,11 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     max_row_nnz = int(fs.nnz.max()) if fs.nnz.size else 0
     print(
         f"# compaction: max per-(frame,channel) nnz = {max_row_nnz} "
-        f"(two-stage blocked compaction: 128-wide block gather then "
-        f"element scatter over kept blocks only — replaced the single "
-        f"full element scatter; bb_mult sweep on this program: 5 -> 34.0, "
-        f"6 -> 39.2, legacy 49.7 ms)",
+        f"(grouped-sort compaction: one segmented lax.sort left-aligns "
+        f"each 16-row group's kept pairs, then one windowed scatter-add "
+        f"per group reassembles the stream — 5.3 ms/rep vs 26.2 for the "
+        f"two-stage blocked scatter and 39.5 for the legacy element "
+        f"scatter, bit-identical; see CodecConfig.compact_mode)",
         file=sys.stderr,
     )
 
@@ -806,8 +812,8 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     # SLOPES: the relay's ~29 ms per-call floor (overhead_ms) swamps any
     # single-shot probe of a sub-30 ms op, so each op runs N times inside
     # ONE jitted fori_loop and the marginal cost (t[N=9] − t[N=1]) / 8 is
-    # the on-chip time.  scatter = the SHIPPED two-stage blocked
-    # compaction (_compact_pairs_auto) on the real encoded q
+    # the on-chip time.  scatter = the SHIPPED compaction
+    # (compact_pairs_any, default grouped sort) on the real encoded q
     # (+ its ~1 ms perturb/reduce); mdct = the 43-GFLOP einsum (+ its
     # <0.5 ms consuming reduction — a sliced output would let XLA shrink
     # the very dot being timed).  Driver-visible JSON so "scatter-bound,
@@ -816,8 +822,8 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     from functools import partial as _partial
 
     from glc_tpu.ops.encode import (
-        _compact_pairs_auto,
         _planarize_device,
+        compact_pairs_any,
         encode_interleaved_dense_device,
         frames_from_signal,
     )
@@ -836,7 +842,7 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
             # keep mask stays (almost) fixed, so the scatter workload does
             qq = jnp.where(q != jnp.int16(0),
                            q + (i & 1).astype(jnp.int16), q)
-            p = _compact_pairs_auto(qq, nnz, 1024, budget)
+            p = compact_pairs_any(qq, nnz, 1024, budget)
             return acc + p.sum()
         return jax.lax.fori_loop(i0, i0 + reps, body, jnp.int32(0))
 

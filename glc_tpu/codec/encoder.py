@@ -276,7 +276,7 @@ def _budget_for(wanted: int, k: int, C: int, n: int) -> int:
 
 
 def _reencode_overflow(xinter_dev, start, *, valid, k, wanted, tables,
-                       params, bb_mult, C, n):
+                       params, bb_mult, compact_mode, C, n):
     """Re-encode one segment whose kept-pair count `wanted` overflowed the
     dispatched compact budget (or was measured by a stats-only budget=0
     dispatch).  Shared by the solo, single-segment-batch, and
@@ -321,7 +321,7 @@ def _reencode_overflow(xinter_dev, start, *, valid, k, wanted, tables,
     budget2 = _budget_for(wanted, k, C, n)
     out2 = encode_interleaved_device(
         xinter_dev, np.int32(start), *tables, k_frames=k, budget=budget2,
-        bb_mult=bb_mult, **params
+        bb_mult=bb_mult, compact_mode=compact_mode, **params
     )
     S = k * (2 * C + 1)
     cut0 = min(_len_bucket(wanted, 5), budget2)
@@ -615,7 +615,8 @@ class Encoder:
         out_d = encode_interleaved_batch_device(
             xb_dev, np.zeros(B, np.int32), *tables,
             k_frames=K, budget=budget,
-            bb_mult=cfg.compact_bb_mult, **params
+            bb_mult=cfg.compact_bb_mult,
+            compact_mode=cfg.compact_mode, **params
         )
 
         stats_width = 2 * C + 1
@@ -648,7 +649,8 @@ class Encoder:
                 nnz, scales, use_raw, pairs = _reencode_overflow(
                     xb_dev[j], 0, valid=F, k=K, wanted=wanted,
                     tables=tables, params=params,
-                    bb_mult=cfg.compact_bb_mult, C=C, n=n,
+                    bb_mult=cfg.compact_bb_mult,
+                    compact_mode=cfg.compact_mode, C=C, n=n,
                 )
                 nnz = nnz[:F]
                 scales = scales[:F]
@@ -765,7 +767,8 @@ class Encoder:
                 out_d = encode_interleaved_device(
                     xb_dev[j], np.int32(start), *tables,
                     k_frames=k, budget=budget,
-                    bb_mult=cfg.compact_bb_mult, **params
+                    bb_mult=cfg.compact_bb_mult,
+                    compact_mode=cfg.compact_mode, **params
                 )[None]
             else:
                 out_d = encode_interleaved_units_device(
@@ -773,7 +776,8 @@ class Encoder:
                     np.asarray([u[0] for u in units], np.int32),
                     np.asarray([u[1] for u in units], np.int32),
                     *tables, k_frames=k, budget=budget,
-                    bb_mult=cfg.compact_bb_mult, **params
+                    bb_mult=cfg.compact_bb_mult,
+                    compact_mode=cfg.compact_mode, **params
                 )
             slices = [
                 start_host_copy(out_d[u, : S + cut0])
@@ -800,7 +804,8 @@ class Encoder:
                     nnz, scale, use_raw, pairs = _reencode_overflow(
                         xb_dev[j], start, valid=valid, k=k, wanted=wanted,
                         tables=tables, params=params,
-                        bb_mult=cfg.compact_bb_mult, C=C, n=n,
+                        bb_mult=cfg.compact_bb_mult,
+                        compact_mode=cfg.compact_mode, C=C, n=n,
                     )
                 per_track[j][start] = (
                     nnz[:valid], scale[:valid], use_raw[:valid], pairs
@@ -946,7 +951,8 @@ class Encoder:
                 nnz, scale, use_raw, pairs = _reencode_overflow(
                     xinter_dev, start, valid=valid, k=k, wanted=wanted,
                     tables=tables, params=params,
-                    bb_mult=cfg.compact_bb_mult, C=C, n=n,
+                    bb_mult=cfg.compact_bb_mult,
+                    compact_mode=cfg.compact_mode, C=C, n=n,
                 )
 
             nnz_all[start : start + valid] = nnz[:valid]
@@ -981,7 +987,8 @@ class Encoder:
             out_d = encode_interleaved_device(
                 xinter_dev, np.int32(start), *tables,
                 k_frames=k, budget=budget,
-                bb_mult=cfg.compact_bb_mult, **params
+                bb_mult=cfg.compact_bb_mult,
+                compact_mode=cfg.compact_mode, **params
             )
             sliced, cut0 = slice_async(out_d, k, budget)
             segs.append((start, valid, k, out_d, sliced, cut0, budget))

@@ -70,9 +70,23 @@ class CodecConfig:
     # correctness-tested; encode is bit-identical either way.
     segmented_batch: bool = False
 
-    # Two-stage blocked compaction budget: mean kept 128-wide blocks per
-    # (frame, channel) row the fast branch accommodates (ops/encode.py
-    # _compact_pairs_auto).  The element scatter that packs kept (k, q)
+    # On-chip pair-compaction implementation (ops/encode.py
+    # compact_pairs_any) — how the encode program packs kept (k, q) pairs
+    # into the stream-ordered download buffer.  All modes are bit-identical;
+    # they differ only in on-chip cost (the compaction was the dominant
+    # on-chip encode cost, VERDICT r3 weak #5).  v5e slope-timed sweep on
+    # the 4096-frame stereo encode's real q (ms per program):
+    #   "sort" (grouped sort + windowed scatter-add, G=16)  5.3
+    #   "sort:<G>"  G=8 5.4, G=4 6.3, G=2 8.8, G=1 17.6
+    #   "blocked" (two-stage scatter, compact_bb_mult=5)   26.2
+    #   "legacy" (single full element scatter)             39.5
+    # The sort mode has no density-dependent branch (sort cost is fixed),
+    # so it also retires the blocked mode's full-coverage lax.cond ladder.
+    compact_mode: str = "sort"
+
+    # Two-stage blocked compaction budget (compact_mode="blocked" only):
+    # mean kept 128-wide blocks per (frame, channel) row the fast branch
+    # accommodates (ops/encode.py _compact_pairs_auto).  The element scatter that packs kept (k, q)
     # pairs is the dominant on-chip encode cost (VERDICT r3 weak #5);
     # compacting BLOCKS first makes stage 2 scale with bb_mult/8 of the
     # legacy scatter.  v5e sweep on 60 s program material (forced, 4096-

@@ -256,6 +256,102 @@ def _compact_pairs_auto(q: jnp.ndarray, nnz: jnp.ndarray, n: int,
     )
 
 
+def _compact_pairs_sorted(q: jnp.ndarray, nnz: jnp.ndarray, n: int,
+                          budget: int, group: int = 16) -> jnp.ndarray:
+    """Grouped-sort compaction, bit-identical to `_compact_pairs` and the
+    fastest variant measured on a v5e (see CodecConfig.compact_mode for
+    the sweep; the legacy element scatter was the dominant on-chip encode
+    cost, VERDICT r3 weak #5).
+
+    Two vector-friendly passes replace the 5-8M-update element scatter:
+
+      1. GROUPED SEGMENTED SORT left-aligns the kept pairs of each GROUP
+         of `group` consecutive (frame, channel) rows: non-kept slots
+         become INT32_MAX sentinels; kept slots pack
+         (local_row << (col_bits+16)) | (col << 16) | (q & 0xFFFF), whose
+         ascending int32 order IS row-major ascending-k stream order — so
+         one single-operand `lax.sort` over [R/G, G·n] segments performs
+         the compaction that per-lane dynamic stores can't express on the
+         VPU.  The sort is nearly free (1.7 ms for the full 8.4M-slot
+         encode q at G=1); masking the local-row bits off afterwards
+         recovers the packed (col << 16) | q wire word.
+      2. WINDOWED SCATTER-ADD places each group as ONE contiguous G·n-wide
+         update window at its exclusive-cumsum output offset.  XLA lowers
+         each window as a serialized vector update (~2 µs/window measured,
+         regardless of width), so cost scales with WINDOW COUNT — the
+         entire point of grouping: R/G windows instead of R·n element
+         updates.  Windows overlap the following groups' regions, but
+         sorted tails are zeroed and group g's pairs all land before group
+         g+1's start, so overlap contributes exact zeros — `add`
+         reassembles the stream bit-exactly.  Out-of-budget groups clamp
+         into a G·n-wide pad zone the return slices off, reproducing
+         `_compact_pairs`'s per-element drop semantics at the boundary.
+
+    G is capped so the packed key stays a positive int32 STRICTLY below
+    the sentinel: local_row bits + col bits + 16 ≤ 30 (at 31 the largest
+    legal pair — last row, col n−1, q = −1 — collides with INT32_MAX; for
+    n = 1024 the cap is G ≤ 16), then halved until it divides R.  Unlike
+    the blocked two-stage scatter there is no density-dependent branch:
+    sort cost is fixed, so dense content pays exactly what sparse content
+    pays (no lax.cond full-coverage ladder).
+    """
+    R = int(np.prod(q.shape[:-1]))
+    col_bits = int(n - 1).bit_length()
+    if col_bits + 16 > 30:
+        # n too wide for the packed-key order trick (needs col + q + at
+        # least 0 group bits in a positive int32) — never true for the
+        # 1024-coefficient codec
+        return _compact_pairs(q, nnz, n, budget)
+    G = min(group, max(1, (1 << (15 - col_bits)) // 2))
+    while R % G:
+        G //= 2
+    shift = col_bits + 16
+    sent = jnp.int32(0x7FFFFFFF)
+    rows = q.reshape(R, n).astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    lrow = (jnp.arange(R, dtype=jnp.int32) % G)[:, None]
+    mask = rows != 0
+    key = jnp.where(
+        mask, (lrow << shift) | (col << 16) | (rows & 0xFFFF), sent)
+    srt = jax.lax.sort(key.reshape(R // G, G * n), dimension=1)
+    val = jnp.where(srt == sent, 0, srt & ((1 << shift) - 1))
+    counts = nnz.reshape(-1).astype(jnp.int32)
+    row_start = jnp.cumsum(counts) - counts                  # [R] exclusive
+    starts = jnp.minimum(row_start[::G], budget)[:, None]    # [R/G, 1]
+    out = jnp.zeros(budget + G * n, jnp.int32)
+    out = jax.lax.scatter_add(
+        out, starts, val,
+        jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1,), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,)),
+        indices_are_sorted=True, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+    return out[:budget]
+
+
+def compact_pairs_any(q: jnp.ndarray, nnz: jnp.ndarray, n: int, budget: int,
+                      compact_mode: str = "sort",
+                      bb_mult: int = 5) -> jnp.ndarray:
+    """Dispatch the configured compaction implementation
+    (CodecConfig.compact_mode).  All modes produce bit-identical packed
+    output; they differ only in on-chip cost:
+
+      * "sort" / "sort:<group>" — grouped sort + windowed scatter-add
+        (_compact_pairs_sorted; default group 16, the v5e sweep winner);
+      * "blocked" — two-stage blocked scatter (_compact_pairs_auto with
+        `bb_mult`, density-dependent via lax.cond);
+      * "legacy" — single full element scatter (_compact_pairs).
+    """
+    if compact_mode == "legacy":
+        return _compact_pairs(q, nnz, n, budget)
+    if compact_mode == "blocked":
+        return _compact_pairs_auto(q, nnz, n, budget, bb_mult)
+    if compact_mode == "sort" or compact_mode.startswith("sort:"):
+        group = int(compact_mode[5:]) if ":" in compact_mode else 16
+        return _compact_pairs_sorted(q, nnz, n, budget, group)
+    raise ValueError(f"unknown compact_mode {compact_mode!r}")
+
+
 def frames_from_signal(xpad: jnp.ndarray, n: int) -> jnp.ndarray:
     """Frame a padded signal [C, P] (P a multiple of n) into 50%-overlap
     blocks [F, C, 2n] with F = P//n − 1, entirely on device.
@@ -307,6 +403,7 @@ def _encode_signal_body(
     xfull, start, cos_table, window, norm, band_mask, band_inv_count,
     band_pf, band_of, inv_w, *, k_frames, budget, pad_hops, pcm16,
     quality, noise_floor_db, compression_threshold, max_q, bb_mult=6,
+    compact_mode="sort",
 ):
     """Traced body shared by the single-track and batched encode programs."""
     n = cos_table.shape[0]
@@ -342,7 +439,7 @@ def _encode_signal_body(
         # picks the right transfer program (encoder._reencode_overflow).
         return stats.reshape(-1)
 
-    packed = _compact_pairs_auto(q, nnz, n, budget, bb_mult)
+    packed = compact_pairs_any(q, nnz, n, budget, compact_mode, bb_mult)
     return jnp.concatenate([stats.reshape(-1), packed])
 
 
@@ -351,7 +448,7 @@ def _encode_signal_body(
     static_argnames=(
         "channels", "lead", "k_frames", "budget", "pad_hops", "pcm16",
         "quality", "noise_floor_db", "compression_threshold", "max_q",
-        "bb_mult",
+        "bb_mult", "compact_mode",
     ),
 )
 def encode_interleaved_device(
@@ -378,6 +475,7 @@ def encode_interleaved_device(
     compression_threshold: float = 0.85,
     max_q: float = 32768.0,
     bb_mult: int = 6,
+    compact_mode: str = "sort",
 ):
     """Transfer-minimal encode over the raw INTERLEAVED buffer: the
     deinterleave + lead/tail padding of frame_signal happen on device
@@ -416,7 +514,7 @@ def encode_interleaved_device(
         k_frames=k_frames, budget=budget, pad_hops=0, pcm16=pcm16,
         quality=quality, noise_floor_db=noise_floor_db,
         compression_threshold=compression_threshold, max_q=max_q,
-        bb_mult=bb_mult,
+        bb_mult=bb_mult, compact_mode=compact_mode,
     )
 
 
@@ -425,7 +523,7 @@ def encode_interleaved_device(
     static_argnames=(
         "channels", "lead", "k_frames", "budget", "pad_hops", "pcm16",
         "quality", "noise_floor_db", "compression_threshold", "max_q",
-        "bb_mult",
+        "bb_mult", "compact_mode",
     ),
 )
 def encode_interleaved_batch_device(
@@ -451,6 +549,7 @@ def encode_interleaved_batch_device(
     compression_threshold: float = 0.85,
     max_q: float = 32768.0,
     bb_mult: int = 6,
+    compact_mode: str = "sort",
 ):
     """Batched multi-track encode — the TPU-native album path.  B
     same-bucket tracks cost ONE upload, ONE program dispatch, and ONE
@@ -476,7 +575,7 @@ def encode_interleaved_batch_device(
             k_frames=k_frames, budget=budget, pad_hops=0, pcm16=pcm16,
             quality=quality, noise_floor_db=noise_floor_db,
             compression_threshold=compression_threshold, max_q=max_q,
-            bb_mult=bb_mult,
+            bb_mult=bb_mult, compact_mode=compact_mode,
         )
 
     return jax.lax.map(body, (xbatch, starts))
@@ -498,7 +597,7 @@ def stack_padded_device(*xs, L: int):
     static_argnames=(
         "channels", "lead", "k_frames", "budget", "pad_hops", "pcm16",
         "quality", "noise_floor_db", "compression_threshold", "max_q",
-        "bb_mult",
+        "bb_mult", "compact_mode",
     ),
 )
 def encode_interleaved_units_device(
@@ -525,6 +624,7 @@ def encode_interleaved_units_device(
     compression_threshold: float = 0.85,
     max_q: float = 32768.0,
     bb_mult: int = 6,
+    compact_mode: str = "sort",
 ):
     """Segment-level batched encode for MULTI-segment tracks (VERDICT r3
     item 4): U (track, segment) units — every same-shape segment of every
@@ -554,7 +654,7 @@ def encode_interleaved_units_device(
             k_frames=k_frames, budget=budget, pad_hops=0, pcm16=pcm16,
             quality=quality, noise_floor_db=noise_floor_db,
             compression_threshold=compression_threshold, max_q=max_q,
-            bb_mult=bb_mult,
+            bb_mult=bb_mult, compact_mode=compact_mode,
         )
 
     return jax.lax.map(body, (track_idx, starts))

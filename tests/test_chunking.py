@@ -191,6 +191,98 @@ def test_blocked_compaction_matches_element_scatter():
     both(qz, (qz != 0).sum(-1).astype(np.int32), bb_mult=6)
 
 
+def test_grouped_sort_compaction_matches_element_scatter():
+    """_compact_pairs_sorted (grouped sort + windowed scatter-add, the
+    shipped default) must be bit-identical to the legacy element scatter —
+    the FULL output array including the zero tail and the overflow-drop
+    boundary, not just the valid prefix — across densities, group sizes
+    (including clamped and non-dividing ones), and the sentinel-collision
+    hazard (q = −1 at the last coefficient of the last row in a group,
+    whose packed key is the largest legal value)."""
+    import jax
+    from glc_tpu.ops.encode import _compact_pairs, _compact_pairs_sorted
+
+    rng = np.random.default_rng(5)
+
+    def both(q, nnz, group, n, budget):
+        legacy = np.asarray(jax.jit(
+            lambda q, z: _compact_pairs(q, z, n, budget))(q, nnz))
+        srt = np.asarray(jax.jit(
+            lambda q, z: _compact_pairs_sorted(q, z, n, budget, group)
+        )(q, nnz))
+        np.testing.assert_array_equal(srt, legacy)
+
+    n = 1024
+    K, C = 8, 2
+    for density, budget_div in [(0.05, 8), (0.3, 8), (0.9, 1), (0.0, 8)]:
+        q = np.where(rng.random((K, C, n)) < density,
+                     rng.integers(-3000, 3000, (K, C, n)), 0).astype(np.int16)
+        # sentinel hazard: force q = -1 (0xFFFF) at col n-1 everywhere
+        q[..., n - 1] = -1
+        nnz = (q != 0).sum(-1).astype(np.int32)
+        # group 32 clamps to the 16-group key-width cap for n=1024;
+        # budget_div=8 with density 0.3 exercises the overflow drop
+        for group in (1, 2, 4, 16, 32):
+            both(q, nnz, group, n, K * C * n // budget_div)
+
+    # R not divisible by the group → G halves until it divides (R=6 rows)
+    q = np.where(rng.random((3, 2, n)) < 0.1,
+                 rng.integers(-3000, 3000, (3, 2, n)), 0).astype(np.int16)
+    both(q, (q != 0).sum(-1).astype(np.int32), 4, n, 6 * n // 4)
+
+    # non-power-of-two n works (no fallback needed below the key cap)
+    n3 = 96
+    q3 = np.where(rng.random((K, C, n3)) < 0.2,
+                  rng.integers(-3000, 3000, (K, C, n3)), 0).astype(np.int16)
+    both(q3, (q3 != 0).sum(-1).astype(np.int32), 16, n3, K * C * n3 // 4)
+
+    # n beyond the 30-bit key cap → graceful _compact_pairs fallback
+    n4 = 40000
+    q4 = np.where(rng.random((1, 2, n4)) < 0.01,
+                  rng.integers(-3000, 3000, (1, 2, n4)), 0).astype(np.int16)
+    both(q4, (q4 != 0).sum(-1).astype(np.int32), 16, n4, n4 // 2)
+
+
+def test_compact_mode_dispatch_and_e2e_equivalence():
+    """compact_pairs_any routes every mode spec to a bit-identical
+    implementation, rejects unknown specs, and the CodecConfig knob
+    reaches the full encode pipeline: the same signal encodes to the same
+    container bytes under "sort", "sort:4", "blocked", and "legacy"."""
+    import jax
+    import pytest
+    from glc_tpu import CodecConfig, Encoder, serialize_encoded
+    from glc_tpu.ops.encode import _compact_pairs, compact_pairs_any
+
+    rng = np.random.default_rng(11)
+    n, K, C = 1024, 4, 2
+    budget = K * C * n // 8
+    q = np.where(rng.random((K, C, n)) < 0.08,
+                 rng.integers(-3000, 3000, (K, C, n)), 0).astype(np.int16)
+    nnz = (q != 0).sum(-1).astype(np.int32)
+    legacy = np.asarray(jax.jit(
+        lambda q, z: _compact_pairs(q, z, n, budget))(q, nnz))
+    for mode in ("sort", "sort:4", "blocked", "legacy"):
+        got = np.asarray(jax.jit(
+            lambda q, z, m=mode: compact_pairs_any(q, z, n, budget, m)
+        )(q, nnz))
+        np.testing.assert_array_equal(got, legacy)
+    with pytest.raises(ValueError, match="compact_mode"):
+        compact_pairs_any(q, nnz, n, budget, "nope")
+
+    t = np.arange(44100, dtype=np.float32) / 44100
+    sig = np.clip((0.4 * np.sin(2 * np.pi * 440 * t)
+                   + 0.05 * rng.standard_normal(44100)) * 32767,
+                  -32768, 32767).astype(np.int16)
+    pcm = np.repeat(sig, 2)  # trivial stereo
+    datas = {
+        mode: serialize_encoded(
+            Encoder(44100, CodecConfig(compact_mode=mode)).encode_pcm16(
+                pcm, 2))
+        for mode in ("sort", "blocked", "legacy")
+    }
+    assert datas["sort"] == datas["blocked"] == datas["legacy"]
+
+
 def test_encode_many_batched_group_matches_serial():
     """Same-bucket tracks go through ONE batched device program
     (encode_interleaved_batch_device); containers must be bit-identical to
