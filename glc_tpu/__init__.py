@@ -20,14 +20,22 @@ import jax as _jax
 
 # Persistent XLA compilation cache: CLI invocations are separate processes,
 # and TPU (re)compilation — especially via a remote-compile service — costs
-# tens of seconds per shape.  Opt out with GLC_JAX_CACHE=off.  Enabled only
-# when a non-CPU platform is explicitly selected: XLA:CPU AOT artifacts are
-# machine-feature-pinned and reloading them on a different host risks
-# SIGILL, and probing the real backend here would trigger device init at
-# import time.
-_cache_dir = _os.environ.get("GLC_JAX_CACHE", "~/.cache/glc_tpu/jax_cache")
+# tens of seconds per shape.  Opt out with GLC_JAX_CACHE=off.  Default dir
+# lives UNDER THE REPO (falling back to ~/.cache outside a checkout) so a
+# fresh process — the driver's bench run included — reloads every program
+# the ladder ever compiled instead of paying the compile tax again
+# (VERDICT r4 item 2).  Enabled unless the platform is explicitly CPU:
+# XLA:CPU AOT artifacts are machine-feature-pinned and reloading them on a
+# different host risks SIGILL (the TPU backend is selected by default in
+# deployment, so the unset case must be covered); probing the real backend
+# here would trigger device init at import time, hence the env check.
+_default_cache = _os.path.join(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))), ".jax_cache")
+if not _os.path.isdir(_os.path.dirname(_default_cache)):  # pragma: no cover
+    _default_cache = "~/.cache/glc_tpu/jax_cache"
+_cache_dir = _os.environ.get("GLC_JAX_CACHE", _default_cache)
 _platforms = _os.environ.get("JAX_PLATFORMS", "").lower()
-if _cache_dir != "off" and _platforms not in ("", "cpu"):
+if _cache_dir != "off" and _platforms != "cpu":
     try:
         _jax.config.update(
             "jax_compilation_cache_dir", _os.path.expanduser(_cache_dir)

@@ -63,15 +63,15 @@ class _Cancelled(Exception):
 # with async copies, so no latency is added.
 _DOWNLOAD_PIECE_ROWS = 1024
 
-# Concurrent generators in the multi-track streaming decode.  1 = strict
-# serial track order through the unified path: on this relay, interleaving
-# the pieced download streams of several tracks measured a consistent
-# ~15% penalty at 4×120 s (in-bench vs_serial 0.83-0.85 at caps 2-4, and
-# a cap sweep put every cap within wire-phase noise of serial — there is
-# no structural win to buy here because each track's own 8-chunk-deep
-# pipeline already saturates the wire; more concurrent streams just
-# congest it).  Raise on links where per-track drains leave the wire idle.
-_STREAM_INTERLEAVE_CAP = 1
+# In-flight chunk handles in the multi-track pipelined decode (matches
+# decode_i16_stream's own lookahead depth).  Tracks run in strict serial
+# CHUNK order — interleaving several tracks' download streams measured a
+# consistent ~15% penalty at 4×120 s on this relay (r4 cap sweep) — but
+# the window is GLOBAL across track boundaries: track N+1's pack/upload/
+# dispatch/compute proceed while track N's last downloads drain, so the
+# wire never idles at a boundary (the reference decodes album tracks with
+# a cold start per file, src/ui.rs:317-359).
+_PIPELINE_DEPTH = 8
 
 
 def _piece_download(hops_d, rows: int):
@@ -439,7 +439,8 @@ class Decoder:
     # --- fast non-streaming decode to int16 (export path) ---
 
     def decode_i16_stream(self, encoded: EncodedAudio,
-                          chunk_frames: Optional[int] = None):
+                          chunk_frames: Optional[int] = None,
+                          stats: Optional[dict] = None):
         """Generator of gapless-trimmed int16 interleaved chunks, in stream
         order, with the exporters' conversion applied on device
         (trunc(clip(x·32767)), audio.rs:9-16).
@@ -456,6 +457,12 @@ class Decoder:
         next chunk's transfers — a 60 s file streams to FLAC ~20% faster at
         1024-frame chunks (measured; config.stream_chunk_frames) while the
         bytes remain identical regardless of chunking (tests pin this).
+
+        `stats`, if given, accumulates wall-time stage attribution into the
+        dict: pack_ms (host _packed_slices), disp_ms (upload staging +
+        dispatch + async-download kickoff), wait_ms (blocked in download
+        gathers + trim).  It instruments the SHIPPED loop, so bench
+        attribution can never desynchronize from what this method does.
         """
         cfg = self.config
         n, C = cfg.n, encoded.header.channels
@@ -484,20 +491,36 @@ class Decoder:
             emitted += len(flat)
             return flat
 
+        if stats is not None:
+            for k in ("pack_ms", "disp_ms", "wait_ms"):
+                stats.setdefault(k, 0.0)
+        _tick = time.perf_counter
+
+        def _add(key: str, t0: float) -> float:
+            t1 = _tick()
+            if stats is not None:
+                stats[key] += (t1 - t0) * 1e3
+            return t1
+
         def collect(handle):
             pieces, valid, last = handle
             # [valid(+1), n, C] i16, already interleaved; row `valid` of the
             # last chunk is the overlap tail, converted on device with the
             # exact hop epilogue (append_carry)
             need = valid + 1 if last else valid
-            return trim(_gather_pieces(pieces)[:need].reshape(-1))
+            t0 = _tick()
+            out = trim(_gather_pieces(pieces)[:need].reshape(-1))
+            _add("wait_ms", t0)
+            return out
 
         handles = []
         for start in range(0, F, chunk):
             valid = min(chunk, F - start)
+            t0 = _tick()
             words, budget, rbudget = _packed_slices(
                 fs, start, valid, chunk, n, cfg.reference_compat
             )
+            t0 = _add("pack_ms", t0)
             hops_d, carry = decode_chunk_packed_device(
                 jax.device_put(words),
                 carry, np.int32(valid),
@@ -513,8 +536,9 @@ class Decoder:
             last = start + chunk >= F
             rows = prefix_rows(valid + 1, chunk + 1)
             handles.append((_piece_download(hops_d, rows), valid, last))
+            _add("disp_ms", t0)
             # bound in-flight device memory while keeping the pipeline deep
-            if len(handles) > 8:
+            if len(handles) > _PIPELINE_DEPTH:
                 out = collect(handles.pop(0))
                 if len(out):
                     yield out
@@ -541,16 +565,18 @@ class Decoder:
         )
         return limit
 
-    def decode_i16(self, encoded: EncodedAudio) -> np.ndarray:
+    def decode_i16(self, encoded: EncodedAudio,
+                   stats: Optional[dict] = None) -> np.ndarray:
         """Decode straight to int16 — equal to
         `convert_f32_to_i16(self.decode(encoded))` within 1 LSB (the
         separately compiled program can shift the f32 hops by ±1 ulp), at
         half the download and with a deep dispatch pipeline (the device
-        chains the carry without host round-trips)."""
+        chains the carry without host round-trips).  `stats` forwards to
+        `decode_i16_stream`'s stage-attribution hook."""
         from ..profiling import maybe_trace
 
         with maybe_trace("decode_i16"):
-            parts = list(self.decode_i16_stream(encoded))
+            parts = list(self.decode_i16_stream(encoded, stats=stats))
         if not parts:
             return np.empty(0, np.int16)
         return np.concatenate(parts)
@@ -658,7 +684,7 @@ class Decoder:
                     (i, ea) for recs in multis.values()
                     for i, ea, _F in recs
                 )
-                self._decode_streaming_interleaved(flat, results)
+                self._decode_streaming_pipelined(flat, results)
 
         # empty tracks (F == 0) decode through the stream path
         for i, ea in fallbacks:
@@ -672,38 +698,83 @@ class Decoder:
             ).copy()
         return results
 
-    def _decode_streaming_interleaved(self, recs, results) -> None:
-        """Multi-chunk tracks, DEFAULT path: drive the tracks'
-        `decode_i16_stream` generators with _STREAM_INTERLEAVE_CAP active
-        at a time (the reference decodes album tracks strictly serially,
-        src/ui.rs:317-359).
+    def _decode_streaming_pipelined(self, recs, results) -> None:
+        """Multi-chunk tracks, DEFAULT path: serial chunk order across the
+        playlist with ONE global `_PIPELINE_DEPTH`-deep in-flight window
+        (the reference decodes album tracks serially with a cold start per
+        file, src/ui.rs:317-359).
 
         Decode at this scale is download-wire-bound: each track's own
-        8-chunk-deep pieced-download pipeline already saturates the wire,
-        so every structure measured within wire-phase noise of the serial
-        loop at 4×120 s — EXCEPT more concurrency, which costs (~15% for
-        interleaved streams at caps 2-4 on this relay, 0.75-0.8× for the
-        segment-batched lax.map alternative, `segmented_batch=True`).
-        Hence cap 1 by default: serial track order through one code path.
-        Each track's output is BIT-identical to `decode_i16` (same
-        generator).
+        pieced-download pipeline already saturates the wire, and
+        interleaving several tracks' download streams measured a ~15%
+        penalty at 4×120 s on this relay (r4 cap sweep) — but a PER-track
+        window (r4's cap-1 generators) still drained every download of
+        track N before dispatching track N+1, idling the wire on N+1's
+        pack/upload/compute at every boundary.  The global window keeps
+        chunk order strictly serial while letting the boundary work of the
+        next track overlap the tail downloads of the previous one.  Chunk
+        geometry, programs, and dispatch order per track are exactly
+        `decode_i16_stream`'s, so per-track output is BIT-identical to
+        `decode_i16`; the incremental trim mirrors its `trim` closure.
         """
-        cap = _STREAM_INTERLEAVE_CAP
+        cfg = self.config
+        n = cfg.n
+        tb = self._tables
+        window_raw = not cfg.reference_compat
         parts: dict = {i: [] for i, _ in recs}
-        active = [(i, self.decode_i16_stream(ea)) for i, ea in recs[:cap]]
-        waiting = list(recs[cap:])
-        while active:
-            nxt = []
-            for i, g in active:
-                chunk = next(g, None)
-                if chunk is None:
-                    if waiting:
-                        j, ea = waiting.pop(0)
-                        nxt.append((j, self.decode_i16_stream(ea)))
-                else:
-                    parts[i].append(chunk)
-                    nxt.append((i, g))
-            active = nxt
+        # per-track trim state: (skip_left, emitted, limit)
+        trim_state: dict = {}
+        handles: list = []  # (track_i, pieces, valid, last)
+
+        def collect_one() -> None:
+            i, pieces, valid, last = handles.pop(0)
+            need = valid + 1 if last else valid
+            flat = _gather_pieces(pieces)[:need].reshape(-1)
+            skip, emitted, limit = trim_state[i]
+            if skip:
+                cut = min(skip, len(flat))
+                flat = flat[cut:]
+                skip -= cut
+            if emitted + len(flat) > limit:
+                flat = flat[: limit - emitted]
+            emitted += len(flat)
+            trim_state[i] = (skip, emitted, limit)
+            if len(flat):
+                parts[i].append(flat)
+
+        for i, ea in recs:
+            C = ea.header.channels
+            fs = ea.frame_set
+            F = fs.num_frames
+            chunk = chunk_size_for(max(F, 1), cfg.decode_chunk_frames)
+            carry = _zero_carry_device(C, n)
+            pre_len = (F + 1) * n * C
+            skip, limit = gapless_trim_bounds(
+                pre_len, ea.gapless_info, C, cfg.reference_compat
+            )
+            trim_state[i] = (skip, 0, limit)
+            for start in range(0, F, chunk):
+                valid = min(chunk, F - start)
+                words, budget, rbudget = _packed_slices(
+                    fs, start, valid, chunk, n, cfg.reference_compat
+                )
+                hops_d, carry = decode_chunk_packed_device(
+                    jax.device_put(words), carry, np.int32(valid),
+                    tb.cos_table, tb.window, tb.norm,
+                    K=chunk, C=C, n=n, budget=budget, rbudget=rbudget,
+                    max_q=cfg.max_q, window_raw=window_raw,
+                    use_pallas=cfg.use_pallas,
+                    out_i16=True, out_interleave=True, append_carry=True,
+                )
+                last = start + chunk >= F
+                rows = prefix_rows(valid + 1, chunk + 1)
+                handles.append(
+                    (i, _piece_download(hops_d, rows), valid, last)
+                )
+                if len(handles) > _PIPELINE_DEPTH:
+                    collect_one()
+        while handles:
+            collect_one()
         for i, _ in recs:
             results[i] = (
                 np.concatenate(parts[i]) if parts[i]

@@ -42,7 +42,13 @@ class CodecConfig:
 
     # Device batching: frames per jitted chunk (static shape → one compile).
     encode_chunk_frames: int = 4096
-    decode_chunk_frames: int = 4096
+    # Decode chunks are deliberately SMALLER than encode's: a chunk is the
+    # decode pipeline's overlap unit (chunk i+1's pack/upload/dispatch/
+    # compute hide under chunk i's downloads), and a 60 s file in ONE
+    # 2816-frame chunk has nothing to overlap — measured 68.6% of the
+    # adjacent-probe link ceiling vs 104.9% at 1408 (2 chunks), 95.1% at
+    # 512, on a v5e relay (r5 chunk sweep; median of 5 probed reps each).
+    decode_chunk_frames: int = 1408
     # Smaller chunks for streaming consumers that do host work per chunk
     # (FLAC export): their math overlaps the next chunk's transfers, ~20%
     # faster end-to-end (measured on a v5e relay); bytes identical.

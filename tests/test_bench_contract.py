@@ -24,15 +24,20 @@ def _representative_summary():
     """Every summary key bench can emit, with worst-case-width values."""
     return {
         "long600": {"x": 8888.8, "pct_adj": 100.0,
-                    "runs": [8888.8, 8888.8, 8888.8], "fresh": True},
-        "decode": {"x": 8888.8, "med": 8888.8, "ceil_pct": 100.0},
+                    "runs": [8888.8, 8888.8, 8888.8, 8888.8], "fresh": True},
+        "decode": {"x": 8888.8, "med": 8888.8, "ceil_pct": 100.0,
+                   "st": [888, 888, 888]},
         "flac": {"x": 8888.8, "med": 8888.8, "ceil_pct": 100.0},
         "album_enc": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88},
         "album_dec": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88},
-        "album120_enc": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88},
-        "album120_dec": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88},
+        "album120_enc": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88,
+                         "ceil_pct": 100.0},
+        "album120_dec": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88,
+                         "ceil_pct": 100.0},
         "dev": {"enc_x": 88888.0, "dec_x": 88888.0, "scatter_ms": 888.8,
                 "mdct_ms": 88.88, "overhead_ms": 888.8},
+        "quality": {"compat_snr": -88.8, "clean_snr": 88.8,
+                    "compat_maxerr_pct": 888.8, "clean_maxerr_pct": 88.8},
     }
 
 
