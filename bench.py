@@ -330,6 +330,39 @@ def _emit_longfile(res: dict, fresh: bool) -> None:
     )
 
 
+def _claim_chip_with_retry(minutes: float = 45.0) -> None:
+    """Block until the TPU backend initializes, retrying through transient
+    pool exhaustion.  The relay's chip pool intermittently returns
+    UNAVAILABLE for tens of minutes (measured r5: one claim hung 80 min
+    then errored, two more errored instantly, a later attempt succeeded);
+    without this, a driver bench run launched into such a window would
+    record NO artifact at all.  jax caches backend-init failures
+    per-process, so each retry clears the backend registry first."""
+    import jax
+
+    deadline = time.monotonic() + minutes * 60.0
+    while True:
+        try:
+            jax.block_until_ready(jax.device_put(np.zeros(8, np.int32)))
+            return
+        except Exception as e:  # noqa: BLE001 — init errors vary by layer
+            if time.monotonic() > deadline:
+                raise
+            print(
+                f"# chip claim failed ({type(e).__name__}: {str(e)[:120]});"
+                " retrying in 60 s",
+                file=sys.stderr,
+            )
+            sys.stderr.flush()
+            try:
+                import jax.extend.backend as _jeb
+
+                _jeb.clear_backends()
+            except Exception:
+                pass
+            time.sleep(60)
+
+
 def main() -> None:
     duration_s = 60.0
     sample_rate = 44100
@@ -338,6 +371,8 @@ def main() -> None:
     samples = make_signal_i16(duration_s, sample_rate)
 
     import jax
+
+    _claim_chip_with_retry()
 
     from glc_tpu import Decoder, Encoder, serialize_encoded
     from glc_tpu.flac.encoder import encode_flac_i16_streaming
@@ -967,10 +1002,14 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     def scatter_slope(q, nnz, i0, *, reps):
         def body(i, acc):
             # perturb kept values so nothing hoists out of the loop; the
-            # keep mask stays (almost) fixed, so the scatter workload does
+            # keep mask stays (almost) fixed, so the scatter workload does.
+            # Times the SHIPPED compaction (config compact_mode), so a
+            # default change shows up here automatically.
             qq = jnp.where(q != jnp.int16(0),
                            q + (i & 1).astype(jnp.int16), q)
-            p = compact_pairs_any(qq, nnz, 1024, budget)
+            p = compact_pairs_any(qq, nnz, 1024, budget,
+                                  enc.config.compact_mode,
+                                  enc.config.compact_bb_mult)
             return acc + p.sum()
         return jax.lax.fori_loop(i0, i0 + reps, body, jnp.int32(0))
 

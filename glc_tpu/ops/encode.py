@@ -329,6 +329,71 @@ def _compact_pairs_sorted(q: jnp.ndarray, nnz: jnp.ndarray, n: int,
     return out[:budget]
 
 
+def _compact_pairs_gather(q: jnp.ndarray, nnz: jnp.ndarray, n: int,
+                          budget: int, block: int = 128) -> jnp.ndarray:
+    """Gather-based compaction, bit-identical to `_compact_pairs`: instead
+    of moving all R·n slots toward their output positions (the grouped
+    sort's cost is a bitonic pass over every slot, ~5 ms for the 8.4M-slot
+    encode q), invert the mapping — every OUTPUT slot computes which input
+    pair it holds and gathers it.  Output-side work scales with `budget`
+    (~112K slots for the 60 s encode), not with R·n:
+
+      1. WITHIN-BLOCK SORT left-aligns each 128-wide block's kept pairs:
+         key = (j << 16) | (q & 0xFFFF) for kept, INT32_MAX sentinel
+         otherwise (j = lane index; ascending key order = ascending-col
+         order).  Sorting width-128 segments costs ~log²(128)/log²(G·n)
+         ≈ 27% of the grouped sort's compare-exchange stages over the
+         same 8.4M elements.
+      2. BLOCK SCANS: per-block kept counts → global exclusive cumsum =
+         each block's first output position (block-major order IS stream
+         order).
+      3. OWNER MAP: scatter block ids at their output starts (`max` mode:
+         an empty block shares its start with the next non-empty one, and
+         the larger id is always the non-empty one), cummax-fill forward
+         → block_of[s] for every output slot s.
+      4. TWO GATHERS sized by the output: off = s − start[block_of[s]]
+         (table gather), then the sorted key at
+         block_of[s]·block + off (data gather); unpack to the wire word
+         ((global col) << 16) | (q & 0xFFFF); slots ≥ total count are
+         zeroed (matching `_compact_pairs`' zero fill), and blocks whose
+         start lands ≥ budget are dropped (same boundary semantics).
+
+    Like the grouped sort there is no density-dependent branch; unlike it,
+    the placement pass costs O(budget) gathers instead of R/G serialized
+    scatter windows.
+    """
+    R = int(np.prod(q.shape[:-1]))
+    if n % block or (block - 1).bit_length() + 16 > 31:
+        return _compact_pairs(q, nnz, n, budget)
+    NB = n // block
+    nb_total = R * NB
+    blocks_r = q.reshape(nb_total, block).astype(jnp.int32)
+    j = jax.lax.broadcasted_iota(jnp.int32, blocks_r.shape, 1)
+    mask = blocks_r != 0
+    sent = jnp.int32(0x7FFFFFFF)
+    key = jnp.where(mask, (j << 16) | (blocks_r & 0xFFFF), sent)
+    srt = jax.lax.sort(key, dimension=1)               # [nb_total, block]
+    bcnt = jnp.sum(mask, axis=1, dtype=jnp.int32)      # [nb_total]
+    cum = jnp.cumsum(bcnt, dtype=jnp.int32)
+    total = cum[-1]
+    bstart = cum - bcnt                                # exclusive cumsum
+    # owner map over output slots (step 3)
+    ids = jnp.arange(nb_total, dtype=jnp.int32)
+    marks = (
+        jnp.zeros(budget, jnp.int32)
+        .at[bstart]
+        .max(ids, mode="drop")                         # start ≥ budget drops
+    )
+    block_of = jax.lax.associative_scan(jnp.maximum, marks)
+    # output-sized gathers (step 4)
+    s = jnp.arange(budget, dtype=jnp.int32)
+    off = s - jnp.take(bstart, block_of)
+    k = jnp.take(srt.reshape(-1), block_of * block + off)
+    colg = (block_of % NB) * block + (k >> 16)
+    word = (colg << 16) | (k & 0xFFFF)
+    return jnp.where(s < total, word, 0)
+
+
 def compact_pairs_any(q: jnp.ndarray, nnz: jnp.ndarray, n: int, budget: int,
                       compact_mode: str = "sort",
                       bb_mult: int = 5) -> jnp.ndarray:
@@ -336,8 +401,10 @@ def compact_pairs_any(q: jnp.ndarray, nnz: jnp.ndarray, n: int, budget: int,
     (CodecConfig.compact_mode).  All modes produce bit-identical packed
     output; they differ only in on-chip cost:
 
+      * "gather" — within-block sort + output-sized gathers
+        (_compact_pairs_gather);
       * "sort" / "sort:<group>" — grouped sort + windowed scatter-add
-        (_compact_pairs_sorted; default group 16, the v5e sweep winner);
+        (_compact_pairs_sorted; default group 16);
       * "blocked" — two-stage blocked scatter (_compact_pairs_auto with
         `bb_mult`, density-dependent via lax.cond);
       * "legacy" — single full element scatter (_compact_pairs).
@@ -346,6 +413,8 @@ def compact_pairs_any(q: jnp.ndarray, nnz: jnp.ndarray, n: int, budget: int,
         return _compact_pairs(q, nnz, n, budget)
     if compact_mode == "blocked":
         return _compact_pairs_auto(q, nnz, n, budget, bb_mult)
+    if compact_mode == "gather":
+        return _compact_pairs_gather(q, nnz, n, budget)
     if compact_mode == "sort" or compact_mode.startswith("sort:"):
         group = int(compact_mode[5:]) if ":" in compact_mode else 16
         return _compact_pairs_sorted(q, nnz, n, budget, group)

@@ -261,7 +261,7 @@ def test_compact_mode_dispatch_and_e2e_equivalence():
     nnz = (q != 0).sum(-1).astype(np.int32)
     legacy = np.asarray(jax.jit(
         lambda q, z: _compact_pairs(q, z, n, budget))(q, nnz))
-    for mode in ("sort", "sort:4", "blocked", "legacy"):
+    for mode in ("sort", "sort:4", "blocked", "legacy", "gather"):
         got = np.asarray(jax.jit(
             lambda q, z, m=mode: compact_pairs_any(q, z, n, budget, m)
         )(q, nnz))
@@ -278,9 +278,10 @@ def test_compact_mode_dispatch_and_e2e_equivalence():
         mode: serialize_encoded(
             Encoder(44100, CodecConfig(compact_mode=mode)).encode_pcm16(
                 pcm, 2))
-        for mode in ("sort", "blocked", "legacy")
+        for mode in ("sort", "blocked", "legacy", "gather")
     }
-    assert datas["sort"] == datas["blocked"] == datas["legacy"]
+    assert (datas["sort"] == datas["blocked"] == datas["legacy"]
+            == datas["gather"])
 
 
 def test_encode_many_batched_group_matches_serial():
