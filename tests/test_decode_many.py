@@ -239,3 +239,25 @@ def test_decode_many_interleaved_default_bit_identical(enc, seg_spy):
         assert len(out) == len(src)
         np.testing.assert_array_equal(out, dec.decode_i16(ea))
     _assert_within_1lsb(outs[3], dec.decode_i16(encodeds[3]))
+
+
+def test_decode_i16_stats_hook_accumulates_and_is_inert():
+    """The stage-attribution hook (bench's per-rep decode attribution,
+    VERDICT r4 item 1) must accumulate pack/disp/wait and never change
+    the decoded bytes."""
+    import numpy as np
+
+    from glc_tpu import Decoder, Encoder
+
+    t = np.arange(44100, dtype=np.float32) / 44100
+    sig = np.repeat((0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), 2)
+    enc = Encoder(44100)
+    dec = Decoder(2, 44100)
+    ea = enc.encode(sig, 2)
+    plain = dec.decode_i16(ea)
+    stats: dict = {}
+    with_stats = dec.decode_i16(ea, stats=stats)
+    np.testing.assert_array_equal(plain, with_stats)
+    assert set(stats) == {"pack_ms", "disp_ms", "wait_ms"}
+    assert stats["pack_ms"] > 0 and stats["disp_ms"] > 0
+    assert stats["wait_ms"] >= 0
