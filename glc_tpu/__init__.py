@@ -57,7 +57,7 @@ from .container.bincode import save_encoded, load_encoded, serialize_encoded, de
 from .codec.encoder import Encoder
 from .codec.decoder import Decoder
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "CodecConfig",
