@@ -261,3 +261,48 @@ def test_decode_i16_stats_hook_accumulates_and_is_inert():
     assert set(stats) == {"pack_ms", "disp_ms", "wait_ms"}
     assert stats["pack_ms"] > 0 and stats["disp_ms"] > 0
     assert stats["wait_ms"] >= 0
+
+
+def test_decode_many_pipelined_mixed_geometry():
+    """The cross-track pipelined scheduler must handle a playlist mixing
+    mono and stereo multi-chunk tracks (different per-track C and chunk
+    geometry in ONE global window), plus a single-chunk and an empty
+    track, each bit-identical to its own decode_i16."""
+    import numpy as np
+
+    from glc_tpu import CodecConfig, Decoder, Encoder
+    from glc_tpu.container.schema import (
+        AudioHeader,
+        EncodedAudio,
+        FrameSet,
+        GaplessInfo,
+    )
+
+    cfg = CodecConfig(decode_chunk_frames=128)  # force multi-chunk at 1-2 s
+    enc = Encoder(44100)
+    rng = np.random.default_rng(3)
+    t = np.arange(2 * 44100, dtype=np.float32) / 44100
+
+    mono = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    stereo = np.repeat(
+        (0.3 * np.sin(2 * np.pi * 440 * t)
+         + 0.02 * rng.standard_normal(len(t))).astype(np.float32), 2)
+    short = (0.4 * np.sin(2 * np.pi * 330 * t[:4096])).astype(np.float32)
+    eas = [
+        enc.encode(mono, 1),
+        enc.encode(stereo, 2),
+        enc.encode(short, 1),             # single-chunk at 128 frames? 88
+        EncodedAudio(AudioHeader(44100, 1, 0), FrameSet.empty(1),
+                     GaplessInfo(512, 0, 0)),   # F == 0 fallback
+        enc.encode(stereo * 0.5, 2),
+    ]
+    outs = {}
+    for C in (1, 2):
+        dec = Decoder(C, 44100, config=cfg)
+        sel = [(i, ea) for i, ea in enumerate(eas)
+               if ea.header.channels == C]
+        got = dec.decode_many([ea for _i, ea in sel])
+        for (i, ea), o in zip(sel, got):
+            outs[i] = (o, dec.decode_i16(ea))
+    for i, (o, want) in outs.items():
+        np.testing.assert_array_equal(o, want), i
