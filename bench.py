@@ -631,6 +631,10 @@ def _quality_bench(sample_rate: int) -> None:
         d = Decoder(2, sample_rate, config=cfg)
         out = d.decode(e.encode(sig, 2))
         n = min(len(out), len(sig))
+        # 1000 INTERLEAVED samples, exactly the reference's helper — its
+        # calculate_snr indexes the interleaved buffer directly with no
+        # channel scaling (utils.rs:117-133), so stereo skips 500/channel
+        # there too; matching it keeps the numbers comparable
         sl = slice(1000, n - 1000)
         a, b = sig[:n][sl].astype(np.float64), out[:n][sl].astype(np.float64)
         err = a - b
@@ -775,17 +779,21 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
     # absorbs
     e_t, s_t, e_ceils = [], [], []
     up120 = sum(t.nbytes for t, _c in tracks120)
-    down120_enc = sum(
-        len(serialize_encoded(e)) for e in enc.encode_many(tracks120))
+    down120_enc = None  # from the first batched rep — no extra wire cost
     for r in range(reps120):
-        bw_u, bw_d = probe_up(), probe_down()
         for side in ((0, 1) if r % 2 == 0 else (1, 0)):
             if side == 0:
+                # probes run immediately before the BATCHED side (the one
+                # they attribute), whatever the A/B order — a once-per-rep
+                # probe would be minutes-stale for the side running second
+                bw_u, bw_d = probe_up(), probe_down()
                 t0 = time.perf_counter()
                 many120 = [serialize_encoded(e)
                            for e in enc.encode_many(tracks120)]
                 dt = time.perf_counter() - t0
                 e_t.append(dt)
+                if down120_enc is None:
+                    down120_enc = sum(len(b) for b in many120)
                 floor_s = up120 / bw_u + down120_enc / bw_d
                 e_ceils.append(dur120 / floor_s)
             else:
@@ -820,9 +828,10 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
     )
     de_t, ds_t, d_ceils = [], [], []
     for r in range(reps120):                          # alternating A/B
-        bw_u, bw_d = probe_up(), probe_down()
         for side in ((0, 1) if r % 2 == 0 else (1, 0)):
             if side == 0:
+                # probes adjacent to the batched side (see encode loop)
+                bw_u, bw_d = probe_up(), probe_down()
                 t0 = time.perf_counter()
                 outs_b120 = dec.decode_many(eas120)
                 dt = time.perf_counter() - t0

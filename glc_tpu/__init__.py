@@ -21,17 +21,25 @@ import jax as _jax
 # Persistent XLA compilation cache: CLI invocations are separate processes,
 # and TPU (re)compilation — especially via a remote-compile service — costs
 # tens of seconds per shape.  Opt out with GLC_JAX_CACHE=off.  Default dir
-# lives UNDER THE REPO (falling back to ~/.cache outside a checkout) so a
-# fresh process — the driver's bench run included — reloads every program
-# the ladder ever compiled instead of paying the compile tax again
-# (VERDICT r4 item 2).  Enabled unless the platform is explicitly CPU:
-# XLA:CPU AOT artifacts are machine-feature-pinned and reloading them on a
+# lives UNDER THE REPO when running from a checkout (detected by the
+# pyproject.toml next to the package — the package's parent directory
+# always exists, so the existence of the DIRECTORY proves nothing) and
+# falls back to ~/.cache for installed copies, so a fresh process — the
+# driver's bench run included — reloads every program the ladder ever
+# compiled instead of paying the compile tax again (VERDICT r4 item 2).
+# Enabled unless the platform is explicitly CPU via the env var: XLA:CPU
+# AOT artifacts are machine-feature-pinned and reloading them on a
 # different host risks SIGILL (the TPU backend is selected by default in
 # deployment, so the unset case must be covered); probing the real backend
 # here would trigger device init at import time, hence the env check.
-_default_cache = _os.path.join(_os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))), ".jax_cache")
-if not _os.path.isdir(_os.path.dirname(_default_cache)):  # pragma: no cover
+# Residual: a session that forces CPU through jax.config with the env var
+# unset still caches CPU artifacts — same-machine only (the cache dir is
+# gitignored and never travels with the repo); set GLC_JAX_CACHE=off in
+# such sessions (the verify skill does).
+_pkg_parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _os.path.isfile(_os.path.join(_pkg_parent, "pyproject.toml")):
+    _default_cache = _os.path.join(_pkg_parent, ".jax_cache")
+else:  # pragma: no cover — installed (non-checkout) copy
     _default_cache = "~/.cache/glc_tpu/jax_cache"
 _cache_dir = _os.environ.get("GLC_JAX_CACHE", _default_cache)
 _platforms = _os.environ.get("JAX_PLATFORMS", "").lower()

@@ -464,32 +464,32 @@ class Decoder:
         gathers + trim).  It instruments the SHIPPED loop, so bench
         attribution can never desynchronize from what this method does.
         """
+        for _pos, flat in self._pipelined_i16_chunks(
+            [(0, encoded)], chunk_frames=chunk_frames, stats=stats
+        ):
+            yield flat
+
+    def _pipelined_i16_chunks(self, recs, chunk_frames: Optional[int] = None,
+                              stats: Optional[dict] = None):
+        """Core of every int16 decode surface: drive the tracks in `recs`
+        (a list of ``(pos, EncodedAudio)``) through per-chunk device
+        dispatches with ONE global `_PIPELINE_DEPTH`-deep in-flight window,
+        yielding ``(pos, trimmed_flat)`` in stream order.
+
+        `decode_i16_stream` is the single-track case;
+        `_decode_streaming_pipelined` (decode_many's multi-chunk path) is
+        the playlist case — one implementation, so the pack/dispatch/trim
+        logic can never desynchronize between them.  The window being
+        global means track N+1's pack/upload/dispatch/compute overlap
+        track N's tail downloads (the reference decodes album tracks with
+        a cold start per file, src/ui.rs:317-359).  Per-track chunk
+        geometry, dispatch order, and trim are exactly the single-track
+        ones, so per-track output is BIT-identical either way.
+        """
         cfg = self.config
-        n, C = cfg.n, encoded.header.channels
-        fs = encoded.frame_set
-        F = fs.num_frames
+        n = cfg.n
         tb = self._tables
-        chunk = chunk_size_for(max(F, 1),
-                               chunk_frames or cfg.decode_chunk_frames)
-        carry = _zero_carry_device(C, n)
         window_raw = not cfg.reference_compat
-
-        pre_len = (F + 1) * n * C
-        skip, limit = gapless_trim_bounds(
-            pre_len, encoded.gapless_info, C, cfg.reference_compat
-        )
-        emitted = 0
-
-        def trim(flat):
-            nonlocal skip, emitted
-            if skip:
-                cut = min(skip, len(flat))
-                flat = flat[cut:]
-                skip -= cut
-            if emitted + len(flat) > limit:
-                flat = flat[: limit - emitted]
-            emitted += len(flat)
-            return flat
 
         if stats is not None:
             for k in ("pack_ms", "disp_ms", "wait_ms"):
@@ -502,55 +502,85 @@ class Decoder:
                 stats[key] += (t1 - t0) * 1e3
             return t1
 
+        # per-track trim state: pos -> [skip_left, emitted, limit]
+        trim_state: dict = {}
+
+        def trim(pos, flat):
+            st = trim_state[pos]
+            skip, emitted, limit = st
+            if skip:
+                cut = min(skip, len(flat))
+                flat = flat[cut:]
+                st[0] = skip - cut
+            if emitted + len(flat) > limit:
+                flat = flat[: limit - emitted]
+            st[1] = emitted + len(flat)
+            return flat
+
         def collect(handle):
-            pieces, valid, last = handle
+            pos, pieces, valid, last = handle
             # [valid(+1), n, C] i16, already interleaved; row `valid` of the
             # last chunk is the overlap tail, converted on device with the
             # exact hop epilogue (append_carry)
             need = valid + 1 if last else valid
             t0 = _tick()
-            out = trim(_gather_pieces(pieces)[:need].reshape(-1))
+            out = trim(pos, _gather_pieces(pieces)[:need].reshape(-1))
             _add("wait_ms", t0)
-            return out
+            return pos, out
 
-        handles = []
-        for start in range(0, F, chunk):
-            valid = min(chunk, F - start)
-            t0 = _tick()
-            words, budget, rbudget = _packed_slices(
-                fs, start, valid, chunk, n, cfg.reference_compat
+        handles: list = []
+        for pos, encoded in recs:
+            C = encoded.header.channels
+            fs = encoded.frame_set
+            F = fs.num_frames
+            chunk = chunk_size_for(max(F, 1),
+                                   chunk_frames or cfg.decode_chunk_frames)
+            carry = _zero_carry_device(C, n)
+            pre_len = (F + 1) * n * C
+            skip, limit = gapless_trim_bounds(
+                pre_len, encoded.gapless_info, C, cfg.reference_compat
             )
-            t0 = _add("pack_ms", t0)
-            hops_d, carry = decode_chunk_packed_device(
-                jax.device_put(words),
-                carry, np.int32(valid),
-                tb.cos_table, tb.window, tb.norm,
-                K=chunk, C=C, n=n,
-                budget=budget, rbudget=rbudget,
-                max_q=cfg.max_q, window_raw=window_raw,
-                use_pallas=cfg.use_pallas,
-                out_i16=True,
-                out_interleave=True,
-                append_carry=True,
-            )
-            last = start + chunk >= F
-            rows = prefix_rows(valid + 1, chunk + 1)
-            handles.append((_piece_download(hops_d, rows), valid, last))
-            _add("disp_ms", t0)
-            # bound in-flight device memory while keeping the pipeline deep
-            if len(handles) > _PIPELINE_DEPTH:
-                out = collect(handles.pop(0))
-                if len(out):
-                    yield out
+            trim_state[pos] = [skip, 0, limit]
+            if F == 0:  # no chunks to run: the stream is the silent tail
+                tail = trim(pos, np.zeros(n * C, np.int16))
+                if len(tail):
+                    yield pos, tail
+                continue
+            for start in range(0, F, chunk):
+                valid = min(chunk, F - start)
+                t0 = _tick()
+                words, budget, rbudget = _packed_slices(
+                    fs, start, valid, chunk, n, cfg.reference_compat
+                )
+                t0 = _add("pack_ms", t0)
+                hops_d, carry = decode_chunk_packed_device(
+                    jax.device_put(words),
+                    carry, np.int32(valid),
+                    tb.cos_table, tb.window, tb.norm,
+                    K=chunk, C=C, n=n,
+                    budget=budget, rbudget=rbudget,
+                    max_q=cfg.max_q, window_raw=window_raw,
+                    use_pallas=cfg.use_pallas,
+                    out_i16=True,
+                    out_interleave=True,
+                    append_carry=True,
+                )
+                last = start + chunk >= F
+                rows = prefix_rows(valid + 1, chunk + 1)
+                handles.append(
+                    (pos, _piece_download(hops_d, rows), valid, last)
+                )
+                _add("disp_ms", t0)
+                # bound in-flight device memory, keep the pipeline deep
+                if len(handles) > _PIPELINE_DEPTH:
+                    pos_o, out = collect(handles.pop(0))
+                    if len(out):
+                        yield pos_o, out
 
         for handle in handles:
-            out = collect(handle)
+            pos_o, out = collect(handle)
             if len(out):
-                yield out
-        if F == 0:  # no chunks ran: the stream is just the silent tail
-            tail = trim(np.zeros(n * C, np.int16))
-            if len(tail):
-                yield tail
+                yield pos_o, out
 
     def decoded_length(self, encoded: EncodedAudio) -> int:
         """Exact post-trim interleaved sample count of `decode`/`decode_i16`
@@ -593,15 +623,16 @@ class Decoder:
         groups dispatch the single-track packed program on the same
         already-built buffer (no re-packing), so every single-chunk track's
         transfers overlap the others'.  MULTI-chunk tracks (anything past
-        decode_chunk_frames ≈ 95 s at 44.1 kHz) stream ROUND-ROBIN through
-        interleaved decode_i16_stream generators
-        (`_decode_streaming_interleaved`, the measured-fastest path on a
-        wire-bound link) — or, with config.segmented_batch=True, batch at
-        SEGMENT level: chunk s of every track in one dispatch, per-track
-        overlap carries chained exactly as the serial path chains them
-        (`_decode_segmented_group`, for fast-interconnect deployments).
-        Per-track output equals `decode_i16` within 1 LSB — bit-identical
-        on the default path (it IS decode_i16's generator); the batched
+        decode_chunk_frames = 1408 frames ≈ 32.7 s at 44.1 kHz) run the
+        cross-track pipelined chunk scheduler
+        (`_decode_streaming_pipelined`: one global in-flight window, so
+        track boundaries never idle the wire) — or, with
+        config.segmented_batch=True, batch at SEGMENT level: chunk s of
+        every track in one dispatch, per-track overlap carries chained
+        exactly as the serial path chains them (`_decode_segmented_group`,
+        for fast-interconnect deployments).  Per-track output equals
+        `decode_i16` within 1 LSB — bit-identical on the default path (it
+        IS decode_i16's core, `_pipelined_i16_chunks`); the batched
         programs are the same traced body under lax.map, where XLA may
         fuse the IMDCT chain differently.
         """
@@ -700,81 +731,16 @@ class Decoder:
 
     def _decode_streaming_pipelined(self, recs, results) -> None:
         """Multi-chunk tracks, DEFAULT path: serial chunk order across the
-        playlist with ONE global `_PIPELINE_DEPTH`-deep in-flight window
-        (the reference decodes album tracks serially with a cold start per
-        file, src/ui.rs:317-359).
-
-        Decode at this scale is download-wire-bound: each track's own
-        pieced-download pipeline already saturates the wire, and
-        interleaving several tracks' download streams measured a ~15%
-        penalty at 4×120 s on this relay (r4 cap sweep) — but a PER-track
-        window (r4's cap-1 generators) still drained every download of
-        track N before dispatching track N+1, idling the wire on N+1's
-        pack/upload/compute at every boundary.  The global window keeps
-        chunk order strictly serial while letting the boundary work of the
-        next track overlap the tail downloads of the previous one.  Chunk
-        geometry, programs, and dispatch order per track are exactly
-        `decode_i16_stream`'s, so per-track output is BIT-identical to
-        `decode_i16`; the incremental trim mirrors its `trim` closure.
+        playlist with ONE global in-flight window — the playlist case of
+        `_pipelined_i16_chunks` (see its docstring; a per-track window
+        would idle the wire on every track boundary, and interleaving
+        several tracks' download streams measured a ~15% penalty at
+        4×120 s on this relay, r4 cap sweep).  Per-track output is
+        BIT-identical to `decode_i16` (same core).
         """
-        cfg = self.config
-        n = cfg.n
-        tb = self._tables
-        window_raw = not cfg.reference_compat
         parts: dict = {i: [] for i, _ in recs}
-        # per-track trim state: (skip_left, emitted, limit)
-        trim_state: dict = {}
-        handles: list = []  # (track_i, pieces, valid, last)
-
-        def collect_one() -> None:
-            i, pieces, valid, last = handles.pop(0)
-            need = valid + 1 if last else valid
-            flat = _gather_pieces(pieces)[:need].reshape(-1)
-            skip, emitted, limit = trim_state[i]
-            if skip:
-                cut = min(skip, len(flat))
-                flat = flat[cut:]
-                skip -= cut
-            if emitted + len(flat) > limit:
-                flat = flat[: limit - emitted]
-            emitted += len(flat)
-            trim_state[i] = (skip, emitted, limit)
-            if len(flat):
-                parts[i].append(flat)
-
-        for i, ea in recs:
-            C = ea.header.channels
-            fs = ea.frame_set
-            F = fs.num_frames
-            chunk = chunk_size_for(max(F, 1), cfg.decode_chunk_frames)
-            carry = _zero_carry_device(C, n)
-            pre_len = (F + 1) * n * C
-            skip, limit = gapless_trim_bounds(
-                pre_len, ea.gapless_info, C, cfg.reference_compat
-            )
-            trim_state[i] = (skip, 0, limit)
-            for start in range(0, F, chunk):
-                valid = min(chunk, F - start)
-                words, budget, rbudget = _packed_slices(
-                    fs, start, valid, chunk, n, cfg.reference_compat
-                )
-                hops_d, carry = decode_chunk_packed_device(
-                    jax.device_put(words), carry, np.int32(valid),
-                    tb.cos_table, tb.window, tb.norm,
-                    K=chunk, C=C, n=n, budget=budget, rbudget=rbudget,
-                    max_q=cfg.max_q, window_raw=window_raw,
-                    use_pallas=cfg.use_pallas,
-                    out_i16=True, out_interleave=True, append_carry=True,
-                )
-                last = start + chunk >= F
-                rows = prefix_rows(valid + 1, chunk + 1)
-                handles.append(
-                    (i, _piece_download(hops_d, rows), valid, last)
-                )
-                if len(handles) > _PIPELINE_DEPTH:
-                    collect_one()
-        while handles:
-            collect_one()
+        for pos, flat in self._pipelined_i16_chunks(recs):
+            parts[pos].append(flat)
         for i, _ in recs:
             results[i] = (
                 np.concatenate(parts[i]) if parts[i]

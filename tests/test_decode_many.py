@@ -296,13 +296,10 @@ def test_decode_many_pipelined_mixed_geometry():
                      GaplessInfo(512, 0, 0)),   # F == 0 fallback
         enc.encode(stereo * 0.5, 2),
     ]
-    outs = {}
-    for C in (1, 2):
-        dec = Decoder(C, 44100, config=cfg)
-        sel = [(i, ea) for i, ea in enumerate(eas)
-               if ea.header.channels == C]
-        got = dec.decode_many([ea for _i, ea in sel])
-        for (i, ea), o in zip(sel, got):
-            outs[i] = (o, dec.decode_i16(ea))
-    for i, (o, want) in outs.items():
-        np.testing.assert_array_equal(o, want), i
+    # ONE decode_many call over the mixed-channel playlist: decode_many
+    # reads each track's channel count from its own header, so mono and
+    # stereo multi-chunk tracks share the same global pipelined window
+    dec = Decoder(2, 44100, config=cfg)
+    got = dec.decode_many(eas)
+    for i, ea in enumerate(eas):
+        np.testing.assert_array_equal(got[i], dec.decode_i16(ea)), i
