@@ -64,6 +64,7 @@ from .container.schema import (
 from .container.bincode import save_encoded, load_encoded, serialize_encoded, deserialize_encoded
 from .codec.encoder import Encoder
 from .codec.decoder import Decoder
+from .warmup import warmup
 
 __version__ = "0.5.0"
 
@@ -82,4 +83,5 @@ __all__ = [
     "deserialize_encoded",
     "Encoder",
     "Decoder",
+    "warmup",
 ]

@@ -208,3 +208,13 @@ def test_device_compute_regression_gate():
     print(f"device-compute gate: {res}")
     assert res["enc_x"] > 800, res
     assert res["dec_x"] > 1200, res
+
+
+def test_warmup_compiles_shipped_paths():
+    """glc_tpu.warmup() must run the exact shipped entry points without
+    error at a small shape class (full-size classes are exercised on
+    TPU; CPU compiles of 4096-frame programs are too slow for CI)."""
+    import glc_tpu
+
+    glc_tpu.warmup(seconds=1.0, channels=2, flac=True)
+    glc_tpu.warmup(seconds=0.5, channels=1, flac=False)
