@@ -121,6 +121,28 @@ STREAM_D = bytes.fromhex(
 )
 
 
+# Stream E: FIXED order-1 with PARTITION ORDER 1 (§9.2.7): two partitions
+# — partition 0 carries (16>>1) − order = 7 residuals at k=0 (zigzag(2)=4
+# → unary 00001), partition 1 carries 8 residuals at k=1 (q=2 → 001, r=0).
+#   Subframe 12: 0 pad, 001001 = fixed order 1, 0 wasted; warmup 0000;
+#   residual 00 + 0001 (order 1) + [0000, 7×00001] + [0001, 8×0010].
+STREAM_E = bytes.fromhex(
+    "664c614380000022001000100000000000000ac440f000000010ff4368299c50"
+    "dbff7a7bd15e91f91a76fff86908000f301200000402108421089111111100ec"
+    "9f"
+)
+
+# Stream F: fixed order-0 with an ESCAPE-coded partition (§9.2.7.1):
+# 4-bit params 1111 escapes, then 5 bits give the raw width (5), then 16
+# residuals (= the samples, order 0) as raw 5-bit two's complement.
+#   Subframe 10: 0 pad, 001000 = fixed order 0, 0 wasted;
+#   residual 00 + 0000 + 1111 + 00101 + 16×5-bit raws + pad.
+STREAM_F = bytes.fromhex(
+    "664c614380000022001000100000000000000ac440f000000010f07a1d9d17fc"
+    "b0a078ea2dddf783d142fff86908000f301003cb8ceb7cefbe008864298e5d33"
+)
+
+
 @pytest.mark.parametrize("decode", DECODERS)
 class TestSpecVectors:
     def _check(self, decode, stream, expected, channels):
@@ -143,6 +165,12 @@ class TestSpecVectors:
 
     def test_stereo_two_frames(self, decode):
         self._check(decode, STREAM_D, [100, -100] * 32, 2)
+
+    def test_fixed_order1_two_partitions(self, decode):
+        self._check(decode, STREAM_E, [2 * i for i in range(16)], 1)
+
+    def test_escape_coded_partition(self, decode):
+        self._check(decode, STREAM_F, list(range(-8, 8)), 1)
 
 
 def test_encoder_framing_golden_level0():
