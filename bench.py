@@ -330,17 +330,56 @@ def _emit_longfile(res: dict, fresh: bool) -> None:
     )
 
 
-def _claim_chip_with_retry(minutes: float = 45.0) -> None:
+def _claim_chip_with_retry(minutes: float = 45.0,
+                           probe_timeout_s: float = 600.0) -> None:
     """Block until the TPU backend initializes, retrying through transient
     pool exhaustion.  The relay's chip pool intermittently returns
     UNAVAILABLE for tens of minutes (measured r5: one claim hung 80 min
     then errored, two more errored instantly, a later attempt succeeded);
     without this, a driver bench run launched into such a window would
-    record NO artifact at all.  jax caches backend-init failures
-    per-process, so each retry clears the backend registry first."""
+    record NO artifact at all.
+
+    A degraded-pool claim can HANG (not error) for 25-80 min, and a
+    blocked PJRT init cannot be cancelled in-process — so the pool is
+    probed first in a KILLABLE child process with a timeout (healthy
+    claims take ~200 s; 600 s is generous).  Only after a probe succeeds
+    does this process claim directly.  Cost on the healthy path: one
+    extra ~200 s claim — acceptable for an artifact-or-nothing run.
+    jax caches backend-init failures per-process, so the direct-claim
+    fallback clears the backend registry between retries."""
     import jax
 
     deadline = time.monotonic() + minutes * 60.0
+    probe_src = (
+        "import jax, numpy as np;"
+        "jax.block_until_ready(jax.device_put(np.zeros(8, np.int32)));"
+        "print('CLAIM_OK')"
+    )
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe_src],
+                capture_output=True, text=True,
+                timeout=min(probe_timeout_s,
+                            max(60.0, deadline - time.monotonic())),
+            )
+            if r.returncode == 0 and "CLAIM_OK" in r.stdout:
+                break
+            reason = (r.stderr or r.stdout).strip().splitlines()
+            reason = reason[-1][:120] if reason else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            reason = "probe timed out (claim hanging)"
+        except Exception as e:  # noqa: BLE001 — spawn failures
+            reason = f"{type(e).__name__}: {str(e)[:120]}"
+        if time.monotonic() > deadline:
+            raise RuntimeError(f"chip pool unavailable for {minutes:g} min "
+                               f"(last: {reason})")
+        print(f"# chip probe failed ({reason}); retrying in 60 s",
+              file=sys.stderr)
+        sys.stderr.flush()
+        time.sleep(60)
+    # pool just served the probe — claim directly (can still be slow, but
+    # a hang here means the pool flipped within seconds of a success)
     while True:
         try:
             jax.block_until_ready(jax.device_put(np.zeros(8, np.int32)))
