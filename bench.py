@@ -411,7 +411,21 @@ def main() -> None:
 
     import jax
 
-    _claim_chip_with_retry()
+    try:
+        _claim_chip_with_retry()
+    except Exception as e:  # noqa: BLE001 — pool outage exhausted the retry
+        # Artifact-or-nothing guard: the driver parses the LAST
+        # {"metric": ...} JSON line of output.  A chip-pool outage that
+        # outlasts the retry budget (observed r5: >7 h of UNAVAILABLE)
+        # must still leave an explicit, parseable record of WHY there is
+        # no number — value 0 + error field, never a fabricated figure.
+        print(json.dumps({
+            "metric": "encode_e2e", "value": 0.0, "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "error": f"chip_unavailable: {str(e)[:300]}",
+        }))
+        sys.stdout.flush()
+        raise
 
     from glc_tpu import Decoder, Encoder, serialize_encoded
     from glc_tpu.flac.encoder import encode_flac_i16_streaming
