@@ -412,7 +412,8 @@ def main() -> None:
     import jax
 
     try:
-        _claim_chip_with_retry()
+        _claim_chip_with_retry(
+            minutes=float(os.environ.get("GLC_BENCH_CLAIM_MINUTES", "45")))
     except Exception as e:  # noqa: BLE001 — pool outage exhausted the retry
         # Artifact-or-nothing guard: the driver parses the LAST
         # {"metric": ...} JSON line of output.  A chip-pool outage that
