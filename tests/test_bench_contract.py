@@ -115,3 +115,66 @@ def test_emit_records_summary_keys():
     assert bench.SUMMARY["decode"] == {
         "x": 200.0, "med": 187.5, "ceil_pct": 87.5}
     bench.SUMMARY.clear()
+
+
+class _FakeCompleted:
+    def __init__(self, rc, out="", err=""):
+        self.returncode = rc
+        self.stdout = out
+        self.stderr = err
+
+
+def test_claim_probe_retries_through_outage(monkeypatch):
+    """A hung/failed pool probe retries (killable child, bounded wait) and
+    the direct claim runs only after a probe succeeds."""
+    import subprocess
+
+    calls = {"probe": 0}
+
+    def fake_run(cmd, **kw):
+        calls["probe"] += 1
+        assert kw.get("timeout") is not None  # hung claims must be bounded
+        if calls["probe"] == 1:
+            raise subprocess.TimeoutExpired(cmd, kw["timeout"])
+        if calls["probe"] == 2:
+            return _FakeCompleted(1, err="UNAVAILABLE: pool empty")
+        return _FakeCompleted(0, out="CLAIM_OK\n")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    import types
+
+    fake_jax = types.SimpleNamespace(
+        device_put=lambda x: x, block_until_ready=lambda x: x
+    )
+    monkeypatch.setitem(sys.modules, "jax", fake_jax)
+    try:
+        bench._claim_chip_with_retry(minutes=5.0)
+    finally:
+        sys.modules.pop("jax", None)
+    assert calls["probe"] == 3
+
+
+def test_claim_outage_exhausts_budget_with_reason(monkeypatch):
+    """When the pool outlasts the retry budget the error names the last
+    probe failure (the bench main() turns this into an explicit artifact
+    line — value 0 + error field, never a fabricated number)."""
+    import subprocess
+
+    def fake_run(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 0))
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    clock = {"t": 0.0}
+
+    def fake_monotonic():
+        clock["t"] += 120.0
+        return clock["t"]
+
+    monkeypatch.setattr(bench.time, "monotonic", fake_monotonic)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="claim hanging"):
+        bench._claim_chip_with_retry(minutes=5.0)
