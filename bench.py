@@ -1142,6 +1142,11 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     F = fs.num_frames
     chunk = chunk_size_for(F, enc.config.decode_chunk_frames)
     valid = min(F, chunk)
+    if valid == chunk:
+        # keep one PAD flag slot free to perturb (frames beyond `valid`
+        # are discarded by the host, so this doesn't change the program
+        # cost — the chunk's static shape is unchanged)
+        valid = chunk - 1
     words, budget2, rbudget = _packed_slices(
         fs, 0, valid, chunk, 1024, True
     )
@@ -1160,7 +1165,7 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
 
     def drun(w):
         return decode_chunk_packed_device(
-            w, zero_carry, np.int32(min(F, chunk)),
+            w, zero_carry, np.int32(valid),
             tb.cos_table, tb.window, tb.norm,
             K=chunk, C=2, n=1024, budget=budget2, rbudget=rbudget,
             max_q=enc.config.max_q, window_raw=False, out_i16=True,
