@@ -720,8 +720,10 @@ def _quality_bench(sample_rate: int) -> None:
     print(
         f"# quality (stereo 5 s program material): compat mode "
         f"SNR {res['compat']['snr_db']} dB, max amplitude error "
-        f"{res['compat']['max_amp_err_pct']}% (reproduces the reference's "
-        f"documented ~25% defect, README.md:5-8); clean mode SNR "
+        f"{res['compat']['max_amp_err_pct']}% (the reference's own "
+        f"stereo-trim/raw-window defect — its README admits ~25% on its "
+        f"material, README.md:5-8; this clip drives it harder); clean "
+        f"mode SNR "
         f"{res['clean']['snr_db']} dB, max amplitude error "
         f"{res['clean']['max_amp_err_pct']}% — the beat-the-reference "
         f"number",

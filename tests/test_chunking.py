@@ -243,6 +243,60 @@ def test_grouped_sort_compaction_matches_element_scatter():
     both(q4, (q4 != 0).sum(-1).astype(np.int32), 16, n4, n4 // 2)
 
 
+def test_sorted2_compaction_matches_element_scatter():
+    """_compact_pairs_sorted2 (row sort + P slice + narrow group sort)
+    must be bit-identical to the legacy element scatter on BOTH sides of
+    its on-device density cond: rows all within the P cap (fast two-stage
+    path) and any row above it (full grouped-sort fallback) — full output
+    array, sentinel hazard, and the overflow-drop boundary included."""
+    import jax
+    from glc_tpu.ops.encode import _compact_pairs, _compact_pairs_sorted2
+
+    rng = np.random.default_rng(17)
+    n, K, C = 1024, 8, 2
+
+    def both(q, nnz, P, budget):
+        legacy = np.asarray(jax.jit(
+            lambda q, z: _compact_pairs(q, z, n, budget))(q, nnz))
+        got = np.asarray(jax.jit(
+            lambda q, z: _compact_pairs_sorted2(q, z, n, budget, P)
+        )(q, nnz))
+        np.testing.assert_array_equal(got, legacy)
+
+    # sparse rows under the cap → fast path (with sentinel hazard at the
+    # last column: q = -1 packs to the largest legal key)
+    q = np.where(rng.random((K, C, n)) < 0.05,
+                 rng.integers(-3000, 3000, (K, C, n)), 0).astype(np.int16)
+    q[..., n - 1] = -1
+    nnz = (q != 0).sum(-1).astype(np.int32)
+    assert nnz.max() <= 384
+    both(q, nnz, 384, K * C * n // 8)
+    both(q, nnz, 128, K * C * n // 8)    # tighter cap, still covering
+
+    # one row above the cap → on-device fallback to the full grouped sort
+    q2 = q.copy()
+    q2[3, 1, :600] = 7
+    nnz2 = (q2 != 0).sum(-1).astype(np.int32)
+    assert nnz2.max() > 384
+    both(q2, nnz2, 384, K * C * n // 8)
+
+    # dense everywhere + tiny budget → fallback AND overflow-drop boundary
+    q3 = np.where(rng.random((K, C, n)) < 0.7,
+                  rng.integers(-3000, 3000, (K, C, n)), 0).astype(np.int16)
+    nnz3 = (q3 != 0).sum(-1).astype(np.int32)
+    both(q3, nnz3, 384, K * C * n // 16)
+
+    # budget boundary cutting through a fast-path group
+    both(q, nnz, 384, int(nnz.sum()) // 2)
+
+    # P >= n → static fallback to the plain grouped sort
+    both(q, nnz, 1024, K * C * n // 8)
+
+    # all-zero input → no pairs, no crash
+    qz = np.zeros((K, C, n), np.int16)
+    both(qz, (qz != 0).sum(-1).astype(np.int32), 384, K * C * n // 8)
+
+
 def test_compact_mode_dispatch_and_e2e_equivalence():
     """compact_pairs_any routes every mode spec to a bit-identical
     implementation, rejects unknown specs, and the CodecConfig knob
@@ -261,7 +315,8 @@ def test_compact_mode_dispatch_and_e2e_equivalence():
     nnz = (q != 0).sum(-1).astype(np.int32)
     legacy = np.asarray(jax.jit(
         lambda q, z: _compact_pairs(q, z, n, budget))(q, nnz))
-    for mode in ("sort", "sort:4", "blocked", "legacy", "gather"):
+    for mode in ("sort", "sort:4", "sort2", "sort2:64", "blocked",
+                 "legacy", "gather"):
         got = np.asarray(jax.jit(
             lambda q, z, m=mode: compact_pairs_any(q, z, n, budget, m)
         )(q, nnz))
@@ -278,10 +333,10 @@ def test_compact_mode_dispatch_and_e2e_equivalence():
         mode: serialize_encoded(
             Encoder(44100, CodecConfig(compact_mode=mode)).encode_pcm16(
                 pcm, 2))
-        for mode in ("sort", "blocked", "legacy", "gather")
+        for mode in ("sort", "sort2", "blocked", "legacy", "gather")
     }
-    assert (datas["sort"] == datas["blocked"] == datas["legacy"]
-            == datas["gather"])
+    assert (datas["sort"] == datas["sort2"] == datas["blocked"]
+            == datas["legacy"] == datas["gather"])
 
 
 def test_encode_many_batched_group_matches_serial():
