@@ -988,11 +988,10 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     max_row_nnz = int(fs.nnz.max()) if fs.nnz.size else 0
     print(
         f"# compaction: max per-(frame,channel) nnz = {max_row_nnz} "
-        f"(grouped-sort compaction: one segmented lax.sort left-aligns "
-        f"each 16-row group's kept pairs, then one windowed scatter-add "
-        f"per group reassembles the stream — 5.3 ms/rep vs 26.2 for the "
-        f"two-stage blocked scatter and 39.5 for the legacy element "
-        f"scatter, bit-identical; see CodecConfig.compact_mode)",
+        f"(mode {enc.config.compact_mode}: row sort + P-lane slice + "
+        f"narrow group sort + windowed scatter-add — 4.2 ms/rep vs 5.3 "
+        f"for the full-width grouped sort and 39.5 for the legacy "
+        f"element scatter, bit-identical; see CodecConfig.compact_mode)",
         file=sys.stderr,
     )
 
@@ -1011,9 +1010,10 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
         s[i] = s[i] ^ 1
         variants.append(jax.device_put(s))
     jax.block_until_ready(variants)
+    valid_frames = encoded.frame_set.num_frames  # real frames in the bucket
     run = lambda s: encode_interleaved_device(
-        s, np.int32(0), *tables, channels=2, lead=512,
-        k_frames=4096, budget=budget, pad_hops=4097, pcm16=True)
+        s, np.int32(0), np.int32(valid_frames), *tables, channels=2,
+        lead=512, k_frames=4096, budget=budget, pad_hops=4097, pcm16=True)
 
     def _forced_ms(fn) -> float:
         """fn(v) must return SMALL final handle(s) — slices/reductions
@@ -1061,6 +1061,17 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
                pcm16=True)
     q_d, nnz_d, _s_d, _u_d = encode_interleaved_dense_device(
         variants[0], np.int32(0), *tables, **dkw)
+    # the shipped programs zero bucket-pad rows (frames ≥ valid) before
+    # compacting — the dense fallback returns them unmasked, so mask here
+    # or the slope times a garbage boundary frame the shipped compaction
+    # never sees (measured: 772 kept pairs vs the real max of 353, enough
+    # to push sort2 off its fast path)
+    q_np = np.asarray(q_d).copy()
+    nnz_np = np.asarray(nnz_d).copy()
+    q_np[valid_frames:] = 0
+    nnz_np[valid_frames:] = 0
+    q_d = jax.device_put(q_np)
+    nnz_d = jax.device_put(nnz_np)
     jax.block_until_ready(q_d)
 
     @_partial(jax.jit, static_argnames=("reps",))

@@ -320,7 +320,8 @@ def _reencode_overflow(xinter_dev, start, *, valid, k, wanted, tables,
 
     budget2 = _budget_for(wanted, k, C, n)
     out2 = encode_interleaved_device(
-        xinter_dev, np.int32(start), *tables, k_frames=k, budget=budget2,
+        xinter_dev, np.int32(start), np.int32(valid), *tables,
+        k_frames=k, budget=budget2,
         bb_mult=bb_mult, compact_mode=compact_mode, **params
     )
     S = k * (2 * C + 1)
@@ -613,7 +614,8 @@ class Encoder:
             lead=lead,
         )
         out_d = encode_interleaved_batch_device(
-            xb_dev, np.zeros(B, np.int32), *tables,
+            xb_dev, np.zeros(B, np.int32),
+            np.asarray([r[2] for r in recs], np.int32), *tables,
             k_frames=K, budget=budget,
             bb_mult=cfg.compact_bb_mult,
             compact_mode=cfg.compact_mode, **params
@@ -765,7 +767,7 @@ class Encoder:
             if len(units) == 1:
                 j, start, _valid = units[0]
                 out_d = encode_interleaved_device(
-                    xb_dev[j], np.int32(start), *tables,
+                    xb_dev[j], np.int32(start), np.int32(_valid), *tables,
                     k_frames=k, budget=budget,
                     bb_mult=cfg.compact_bb_mult,
                     compact_mode=cfg.compact_mode, **params
@@ -775,6 +777,7 @@ class Encoder:
                     xb_dev,
                     np.asarray([u[0] for u in units], np.int32),
                     np.asarray([u[1] for u in units], np.int32),
+                    np.asarray([u[2] for u in units], np.int32),
                     *tables, k_frames=k, budget=budget,
                     bb_mult=cfg.compact_bb_mult,
                     compact_mode=cfg.compact_mode, **params
@@ -985,7 +988,7 @@ class Encoder:
             valid = min(k, F - start)
             budget = _pick_budget(self._density_hint.get(C), k, C, n)
             out_d = encode_interleaved_device(
-                xinter_dev, np.int32(start), *tables,
+                xinter_dev, np.int32(start), np.int32(valid), *tables,
                 k_frames=k, budget=budget,
                 bb_mult=cfg.compact_bb_mult,
                 compact_mode=cfg.compact_mode, **params

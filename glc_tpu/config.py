@@ -81,14 +81,20 @@ class CodecConfig:
     # into the stream-ordered download buffer.  All modes are bit-identical;
     # they differ only in on-chip cost (the compaction was the dominant
     # on-chip encode cost, VERDICT r3 weak #5).  v5e slope-timed sweep on
-    # the 4096-frame stereo encode's real q (ms per program):
-    #   "sort" (grouped sort + windowed scatter-add, G=16)  5.3
+    # the 4096-frame stereo encode's real q, bucket-pad rows zeroed as the
+    # shipped programs do (ms per program):
+    #   "sort2:384" (row sort + P-slice + narrow group sort)  4.2
+    #   "sort2:448" 4.3, "sort2:512" 4.5; "sort2:256" ≡ fallback (the
+    #     program material's densest kept row is 353 pairs > 256)
+    #   "sort" (grouped sort + windowed scatter-add, G=16)    5.3
     #   "sort:<G>"  G=8 5.4, G=4 6.3, G=2 8.8, G=1 17.6
-    #   "blocked" (two-stage scatter, compact_bb_mult=5)   26.2
-    #   "legacy" (single full element scatter)             39.5
-    # The sort mode has no density-dependent branch (sort cost is fixed),
-    # so it also retires the blocked mode's full-coverage lax.cond ladder.
-    compact_mode: str = "sort"
+    #   "gather" (within-block sort + output-sized gathers)  28.5
+    #   "blocked" (two-stage scatter, compact_bb_mult=5)     26.2
+    #   "legacy" (single full element scatter)               39.5
+    # sort2 rows denser than P fall back ON DEVICE (lax.cond on max nnz)
+    # to the full grouped sort — any density still yields a bit-identical
+    # stream, dense material just pays the plain "sort" cost.
+    compact_mode: str = "sort2:384"
 
     # Two-stage blocked compaction budget (compact_mode="blocked" only):
     # mean kept 128-wide blocks per (frame, channel) row the fast branch

@@ -549,12 +549,23 @@ def _zero_extend_device(xfull: jnp.ndarray, pad_hops: int, n: int) -> jnp.ndarra
 
 
 def _encode_signal_body(
-    xfull, start, cos_table, window, norm, band_mask, band_inv_count,
-    band_pf, band_of, inv_w, *, k_frames, budget, pad_hops, pcm16,
-    quality, noise_floor_db, compression_threshold, max_q, bb_mult=6,
-    compact_mode="sort",
+    xfull, start, valid, cos_table, window, norm, band_mask,
+    band_inv_count, band_pf, band_of, inv_w, *, k_frames, budget,
+    pad_hops, pcm16, quality, noise_floor_db, compression_threshold,
+    max_q, bb_mult=6, compact_mode="sort",
 ):
-    """Traced body shared by the single-track and batched encode programs."""
+    """Traced body shared by the single-track and batched encode programs.
+
+    `valid` (dynamic int32) is the number of REAL frames in this segment;
+    frames ≥ valid exist only because k_frames is ladder-bucketed.  Their
+    q/nnz are zeroed before compaction: the bucket boundary frame straddles
+    the hard cut from signal to zero-extension, so its spectrum is
+    broadband (measured 772 kept pairs on 60 s program material whose real
+    frames max out at 353) — left in, it would defeat any density-bounded
+    compaction fast path (sort2's `max(nnz) ≤ P` cond) and waste compact
+    budget on pairs no caller reads.  Host-visible output is unchanged:
+    pad rows sort after the valid rows' pairs in the packed stream, and
+    every caller slices stats/pairs to the valid prefix."""
     n = cos_table.shape[0]
     xfull = _zero_extend_device(xfull, pad_hops, n)
     xpad = jax.lax.dynamic_slice_in_dim(
@@ -571,6 +582,9 @@ def _encode_signal_body(
     )
     q = jnp.where(use_raw[:, None, None], jnp.int16(0), q)
     nnz = jnp.where(use_raw[:, None], 0, nnz)
+    live = jax.lax.broadcasted_iota(jnp.int32, (k_frames, 1), 0) < valid
+    q = jnp.where(live[:, :, None], q, jnp.int16(0))
+    nnz = jnp.where(live, nnz, 0)
 
     stats = jnp.concatenate(
         [
@@ -604,6 +618,7 @@ def encode_interleaved_device(
     xinter: jnp.ndarray,       # [L] interleaved PCM, L = Tb·channels,
                                # resident in HBM; f32, or i16 when pcm16=True
     start: jnp.ndarray,        # scalar int32 — segment start, in hops
+    valid: jnp.ndarray,        # scalar int32 — real frames in this segment
     cos_table: jnp.ndarray,
     window: jnp.ndarray,
     norm: jnp.ndarray,
@@ -658,8 +673,8 @@ def encode_interleaved_device(
     n = cos_table.shape[0]
     xfull = _planarize_device(xinter, channels, lead, n, pad_hops)
     return _encode_signal_body(
-        xfull, start, cos_table, window, norm, band_mask, band_inv_count,
-        band_pf, band_of, inv_w,
+        xfull, start, valid, cos_table, window, norm, band_mask,
+        band_inv_count, band_pf, band_of, inv_w,
         k_frames=k_frames, budget=budget, pad_hops=0, pcm16=pcm16,
         quality=quality, noise_floor_db=noise_floor_db,
         compression_threshold=compression_threshold, max_q=max_q,
@@ -678,6 +693,7 @@ def encode_interleaved_device(
 def encode_interleaved_batch_device(
     xbatch: jnp.ndarray,       # [B, L] interleaved tracks, same bucket
     starts: jnp.ndarray,       # [B] int32
+    valids: jnp.ndarray,       # [B] int32 — real frames per track
     cos_table: jnp.ndarray,
     window: jnp.ndarray,
     norm: jnp.ndarray,
@@ -716,10 +732,10 @@ def encode_interleaved_batch_device(
     n = cos_table.shape[0]
 
     def body(t):
-        xinter, start = t
+        xinter, start, valid = t
         xfull = _planarize_device(xinter, channels, lead, n, pad_hops)
         return _encode_signal_body(
-            xfull, start, cos_table, window, norm, band_mask,
+            xfull, start, valid, cos_table, window, norm, band_mask,
             band_inv_count, band_pf, band_of, inv_w,
             k_frames=k_frames, budget=budget, pad_hops=0, pcm16=pcm16,
             quality=quality, noise_floor_db=noise_floor_db,
@@ -727,7 +743,7 @@ def encode_interleaved_batch_device(
             bb_mult=bb_mult, compact_mode=compact_mode,
         )
 
-    return jax.lax.map(body, (xbatch, starts))
+    return jax.lax.map(body, (xbatch, starts, valids))
 
 
 @partial(jax.jit, static_argnames=("L",))
@@ -753,6 +769,7 @@ def encode_interleaved_units_device(
     xbatch: jnp.ndarray,       # [B, L] resident interleaved tracks
     track_idx: jnp.ndarray,    # [U] int32 — which track each unit encodes
     starts: jnp.ndarray,       # [U] int32 — segment start (hops) per unit
+    valids: jnp.ndarray,       # [U] int32 — real frames per unit
     cos_table: jnp.ndarray,
     window: jnp.ndarray,
     norm: jnp.ndarray,
@@ -794,11 +811,11 @@ def encode_interleaved_units_device(
     n = cos_table.shape[0]
 
     def body(t):
-        ti, start = t
+        ti, start, valid = t
         xinter = jnp.take(xbatch, ti, axis=0)
         xfull = _planarize_device(xinter, channels, lead, n, pad_hops)
         return _encode_signal_body(
-            xfull, start, cos_table, window, norm, band_mask,
+            xfull, start, valid, cos_table, window, norm, band_mask,
             band_inv_count, band_pf, band_of, inv_w,
             k_frames=k_frames, budget=budget, pad_hops=0, pcm16=pcm16,
             quality=quality, noise_floor_db=noise_floor_db,
@@ -806,7 +823,7 @@ def encode_interleaved_units_device(
             bb_mult=bb_mult, compact_mode=compact_mode,
         )
 
-    return jax.lax.map(body, (track_idx, starts))
+    return jax.lax.map(body, (track_idx, starts, valids))
 
 
 @partial(

@@ -459,3 +459,67 @@ def test_encode_many_segmented_mixed_with_singles():
             want = [serialize_encoded(enc2.encode(s, ch))
                     for s, ch in items]
         assert many == want
+
+
+def test_bucket_pad_frames_masked_before_compaction():
+    """The encode programs zero q/nnz of frames ≥ valid (bucket padding)
+    before compacting.  The bucket boundary frame straddles the hard cut
+    from real signal to zero-extension, so unmasked it is BROADBAND —
+    measured 772 kept pairs on 60 s program material whose real frames max
+    out at 353 — which would defeat sort2's `max(nnz) ≤ P` fast path and
+    waste compact budget on pairs no caller reads.  Pins: (a) stats rows
+    ≥ valid report nnz 0, (b) the valid pairs prefix is bit-identical to
+    an exact-size (k_frames == valid) program's, (c) the container bytes
+    are unchanged by bucket size."""
+    import jax
+
+    from glc_tpu.codec.tables import get_device_tables
+    from glc_tpu.ops.encode import encode_interleaved_device
+
+    rate, C = 44100, 2
+    t = np.arange(int(rate * 1.0), dtype=np.float32) / rate
+    mono = 0.4 * np.sin(2 * np.pi * 440.0 * t) + 0.2 * np.sin(
+        2 * np.pi * 1870.0 * t)
+    pcm = np.clip(np.repeat(mono, C) * 32767, -32768, 32767).astype(
+        np.int16)
+
+    tb = get_device_tables(1024, 2048, rate)
+    tables = (tb.cos_table, tb.window, tb.norm, tb.band_mask,
+              tb.band_inv_count, tb.band_pf, tb.band_of, tb.inv_w)
+    T = len(pcm) // C
+    valid = (T + 1023) // 1024 + 1          # frames incl. lead/tail pads
+    k_pad = 64                               # bucketed program size
+    assert k_pad > valid
+    budget = k_pad * C * 1024 // 8
+    kw = dict(channels=C, lead=512, budget=budget, pcm16=True,
+              pad_hops=k_pad + 1)
+
+    out_pad = np.asarray(encode_interleaved_device(
+        pcm, np.int32(0), np.int32(valid), *tables, k_frames=k_pad, **kw))
+    S_pad = k_pad * (2 * C + 1)
+    stats = out_pad[:S_pad].reshape(k_pad, 2 * C + 1)
+    nnz = stats[:, :C]
+    assert nnz[valid:].sum() == 0, "bucket-pad rows leaked pairs"
+    assert nnz[:valid].sum() > 0
+
+    out_exact = np.asarray(encode_interleaved_device(
+        pcm, np.int32(0), np.int32(valid), *tables,
+        k_frames=valid, budget=budget,
+        channels=C, lead=512, pcm16=True, pad_hops=valid + 1))
+    S_exact = valid * (2 * C + 1)
+    wanted = int(nnz[:valid].sum())
+    np.testing.assert_array_equal(
+        out_pad[S_pad:S_pad + wanted], out_exact[S_exact:S_exact + wanted])
+    np.testing.assert_array_equal(
+        stats[:valid].reshape(-1), out_exact[:S_exact])
+
+    # container level: a bucket-forcing chunk size changes nothing
+    from dataclasses import replace
+
+    from glc_tpu.config import DEFAULT_CONFIG
+
+    enc = Encoder(44100)
+    want = serialize_encoded(enc.encode_pcm16(pcm, C))
+    cfg = replace(DEFAULT_CONFIG, encode_chunk_frames=4096)
+    got = serialize_encoded(Encoder(44100, config=cfg).encode_pcm16(pcm, C))
+    assert got == want
