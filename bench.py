@@ -820,10 +820,10 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
     track120 = make_signal_i16(120.0, sample_rate)
     tracks120 = [(track120, 2)] * 4
     # 7 reps: at ~4-7 s per side the per-rep ratios span 0.5-1.6x of pure
-    # wire noise (the batched decode path at the default interleave cap IS
-    # the serial path, so its true ratio is 1.0 by construction) — 5 reps
-    # let two bad phases drag the median to 0.8x; 7 costs ~40 s more and
-    # halves that leverage
+    # wire noise (both sides move the same ~85 MB through the same wire;
+    # the structural difference — cross-track overlap at track boundaries
+    # — is worth single-digit percent) — 5 reps let two bad phases drag
+    # the median to 0.8x; 7 costs ~40 s more and halves that leverage
     reps120 = max(7, runs // 2)
     enc.encode_many(tracks120)                        # warm segmented path
     [enc.encode_pcm16(t, c) for t, c in tracks120]    # warm serial

@@ -71,6 +71,15 @@ _DOWNLOAD_PIECE_ROWS = 1024
 # dispatch/compute proceed while track N's last downloads drain, so the
 # wire never idles at a boundary (the reference decodes album tracks with
 # a cold start per file, src/ui.rs:317-359).
+#
+# Depth was swept on-chip twice at 4×120 s (r5): run 1 (one depth per
+# block, alternating A/B) ranked 2≈4 > 8 > 12; run 2 (depths interleaved
+# round-robin within each rep) ranked 8 > 6 > 3 > 4 > 2 — opposite.
+# Per-rep times for IDENTICAL code swing 2.7-8.7 s with the relay's
+# bandwidth phases, which swamps the single-digit-percent structural
+# effect; there is no measurable depth signal on this wire between 2 and
+# 8, so the default stays at the single-track lookahead's 8 (bounded
+# in-flight device memory, deep enough that compute never starves).
 _PIPELINE_DEPTH = 8
 
 
