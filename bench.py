@@ -998,7 +998,17 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     tb = enc._tables
     tables = (tb.cos_table, tb.window, tb.norm, tb.band_mask,
               tb.band_inv_count, tb.band_pf, tb.band_of, tb.inv_w)
-    budget = 4096 * 2 * 1024 // 8
+    # the SHIPPED segment geometry for this file (upload_geometry), not a
+    # hardcoded 4096-frame program: the 60 s file's 2584 frames ladder to
+    # a 2816-frame segment, and timing a 4096-frame program overstated the
+    # shipped compaction's slot count by 45%
+    from glc_tpu.codec.encoder import upload_geometry
+
+    _t, _f, _pad, _plan, _need_hops, _tb_len = upload_geometry(
+        len(samples), 2, enc.config)
+    assert len(_plan) == 1, "60 s bench file should be a single segment"
+    seg_k = _plan[0][1]
+    budget = seg_k * 2 * 1024 // 8
     # Identical (program, args) dispatches get memoized somewhere in the
     # relay chain (measured: 0.04 ms "runs" of an 88 ms program), so
     # force real execution: distinct resident inputs, and a 1-element
@@ -1013,7 +1023,8 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     valid_frames = encoded.frame_set.num_frames  # real frames in the bucket
     run = lambda s: encode_interleaved_device(
         s, np.int32(0), np.int32(valid_frames), *tables, channels=2,
-        lead=512, k_frames=4096, budget=budget, pad_hops=4097, pcm16=True)
+        lead=512, k_frames=seg_k, budget=budget, pad_hops=_need_hops,
+        pcm16=True)
 
     def _forced_ms(fn) -> float:
         """fn(v) must return SMALL final handle(s) — slices/reductions
@@ -1057,7 +1068,7 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     )
     from glc_tpu.ops.mdct import mdct as mdct_op
 
-    dkw = dict(channels=2, lead=512, k_frames=4096, pad_hops=4097,
+    dkw = dict(channels=2, lead=512, k_frames=seg_k, pad_hops=_need_hops,
                pcm16=True)
     q_d, nnz_d, _s_d, _u_d = encode_interleaved_dense_device(
         variants[0], np.int32(0), *tables, **dkw)
@@ -1091,7 +1102,7 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
 
     @_partial(jax.jit, static_argnames=("reps",))
     def mdct_slope(x, i0, *, reps):
-        xf = (_planarize_device(x, 2, 512, 1024, 4097)
+        xf = (_planarize_device(x, 2, 512, 1024, _need_hops)
               .astype(jnp.float32) / np.float32(32768.0))
         blocks = frames_from_signal(xf, 1024) * tb.window
 
