@@ -81,20 +81,22 @@ class CodecConfig:
     # into the stream-ordered download buffer.  All modes are bit-identical;
     # they differ only in on-chip cost (the compaction was the dominant
     # on-chip encode cost, VERDICT r3 weak #5).  v5e slope-timed sweep on
-    # the 4096-frame stereo encode's real q, bucket-pad rows zeroed as the
-    # shipped programs do (ms per program):
-    #   "sort2:384" (row sort + P-slice + narrow group sort)  4.2
-    #   "sort2:448" 4.3, "sort2:512" 4.5; "sort2:256" ≡ fallback (the
-    #     program material's densest kept row is 353 pairs > 256)
-    #   "sort" (grouped sort + windowed scatter-add, G=16)    5.3
-    #   "sort:<G>"  G=8 5.4, G=4 6.3, G=2 8.8, G=1 17.6
-    #   "gather" (within-block sort + output-sized gathers)  28.5
-    #   "blocked" (two-stage scatter, compact_bb_mult=5)     26.2
-    #   "legacy" (single full element scatter)               39.5
-    # sort2 rows denser than P fall back ON DEVICE (lax.cond on max nnz)
-    # to the full grouped sort — any density still yields a bit-identical
-    # stream, dense material just pays the plain "sort" cost.
-    compact_mode: str = "sort2:384"
+    # the SHIPPED 2816-frame stereo encode segment's real q, bucket-pad
+    # rows zeroed as the shipped programs do (ms per program):
+    #   "shift:64" (monotone binary lane routing — no sort)   1.3
+    #   "shift:<G>"  G=16 1.3, G=32 1.6, G=128 2.6, G=256 2.9
+    #   "sort2:384" (row sort + P-slice + narrow group sort)  3.1
+    #   "sort" (grouped sort + windowed scatter-add, G=16)    ~4.2
+    #   "gather" (within-block sort + output-sized gathers)   ~20
+    #   "blocked" (two-stage scatter, compact_bb_mult=5)      ~18
+    #   "legacy" (single full element scatter)                ~27
+    # (sort/gather/blocked/legacy scaled from the earlier 4096-frame
+    # sweep — 5.3/28.5/26.2/39.5 ms at 1.45× the slots.)
+    # The shift mode is a stable partition, not a sort: each kept element
+    # hops left by its precomputed distance in log2(G·n) binary sweeps —
+    # O(W·log W) selects vs the sorts' O(W·log² W) compare-exchanges, no
+    # density-dependent branch, no key-width cap at any n.
+    compact_mode: str = "shift"
 
     # Two-stage blocked compaction budget (compact_mode="blocked" only):
     # mean kept 128-wide blocks per (frame, channel) row the fast branch

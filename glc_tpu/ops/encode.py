@@ -402,6 +402,68 @@ def _compact_pairs_sorted2(q: jnp.ndarray, nnz: jnp.ndarray, n: int,
     )
 
 
+def _compact_pairs_shift(q: jnp.ndarray, nnz: jnp.ndarray, n: int,
+                         budget: int, group: int = 64) -> jnp.ndarray:
+    """Sort-free compaction via monotone binary lane routing, bit-identical
+    to `_compact_pairs`.  Compaction is a STABLE PARTITION, not a sort:
+    every kept element's target slot is already known (row-start exclusive
+    cumsum + within-row rank), so instead of a compare-exchange network
+    (the sort modes' cost) each element just travels LEFT by
+    dist = lane − target, decomposed in binary — ceil(log2(G·n)) shift+
+    select sweeps over the group-flattened rows:
+
+      step b: an element whose remaining dist has bit b set hops 2^b lanes
+      left; out[j] takes in[j+2^b] if that element is hopping, else keeps
+      its own element if staying, else clears to a hole.
+
+    No two elements ever collide: targets are strictly increasing in lane
+    order, so dist is NON-DECREASING over kept lanes, and after the sweeps
+    below bit b every remaining dist is a multiple of 2^b — a stayer at j
+    (bit b clear) and a hopper at j+2^b (bit b set) would need
+    dist[j+2^b] ∈ [dist[j], dist[j]+2^b) yet both ≡ 0 (mod 2^b), forcing
+    dist[j+2^b] = dist[j], contradicting the differing bit.  Total work is
+    O(W·log W) cheap VPU selects vs the sorts' O(W·log² W) wide
+    compare-exchanges, there is no key-packing width cap (works for any
+    n), and density does not matter — no lax.cond fallback ladder.
+
+    Group size trades the windowed placement count (R/G windows, ~2 µs
+    each) against one extra routing sweep per doubling; the windowed
+    scatter-add placement itself is shared with the sort modes
+    (_place_group_windows, W-wide windows at the group starts).
+    """
+    R = int(np.prod(q.shape[:-1]))
+    G = min(group, R)
+    while R % G:
+        G //= 2
+    W = G * n
+    S = R // G
+    rows = q.reshape(R, n).astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    mask = rows != 0
+    w = jnp.where(mask, (col << 16) | (rows & 0xFFFF), 0)
+    rank = jnp.cumsum(mask, axis=1, dtype=jnp.int32) - 1
+    counts = nnz.reshape(-1).astype(jnp.int32)
+    row_start = jnp.cumsum(counts) - counts            # [R] exclusive
+    # stream target LOCAL to the group (the group's absolute start is
+    # applied by the placement window)
+    local = row_start - jnp.repeat(row_start[::G], G)
+    target = local[:, None] + rank                      # [R, n]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1)
+    w = w.reshape(S, W)
+    dist = jnp.where(mask.reshape(S, W), lane - target.reshape(S, W), -1)
+
+    for b in range((W - 1).bit_length()):
+        s = 1 << b
+        sw = jnp.pad(w[:, s:], ((0, 0), (0, s)))
+        sd = jnp.pad(dist[:, s:], ((0, 0), (0, s)), constant_values=-1)
+        move_in = (sd >= 0) & ((sd & s) != 0)
+        stay = (dist >= 0) & ((dist & s) == 0)
+        w = jnp.where(move_in, sw, jnp.where(stay, w, 0))
+        dist = jnp.where(move_in, sd - s, jnp.where(stay, dist, -1))
+
+    return _place_group_windows(w, nnz, G, budget)
+
+
 def _compact_pairs_gather(q: jnp.ndarray, nnz: jnp.ndarray, n: int,
                           budget: int, block: int = 128) -> jnp.ndarray:
     """Gather-based compaction, bit-identical to `_compact_pairs`: instead
@@ -474,6 +536,11 @@ def compact_pairs_any(q: jnp.ndarray, nnz: jnp.ndarray, n: int, budget: int,
     (CodecConfig.compact_mode).  All modes produce bit-identical packed
     output; they differ only in on-chip cost:
 
+      * "shift" / "shift:<G>" — sort-free monotone binary lane routing +
+        windowed scatter-add (_compact_pairs_shift; default G 64): every
+        kept element hops left by its known distance in log2(G·n) binary
+        sweeps — no compare-exchange network, no density fallback, no
+        key-width cap;
       * "sort2" / "sort2:<P>" — row sort + P-lane slice + narrow group
         sort + windowed scatter-add, with an on-device full-sort fallback
         when any row's nnz exceeds P (_compact_pairs_sorted2; default
@@ -492,6 +559,9 @@ def compact_pairs_any(q: jnp.ndarray, nnz: jnp.ndarray, n: int, budget: int,
         return _compact_pairs_auto(q, nnz, n, budget, bb_mult)
     if compact_mode == "gather":
         return _compact_pairs_gather(q, nnz, n, budget)
+    if compact_mode == "shift" or compact_mode.startswith("shift:"):
+        G = int(compact_mode[6:]) if ":" in compact_mode else 64
+        return _compact_pairs_shift(q, nnz, n, budget, G)
     if compact_mode == "sort2" or compact_mode.startswith("sort2:"):
         P = int(compact_mode[6:]) if ":" in compact_mode else 384
         return _compact_pairs_sorted2(q, nnz, n, budget, P)

@@ -316,7 +316,7 @@ def test_compact_mode_dispatch_and_e2e_equivalence():
     legacy = np.asarray(jax.jit(
         lambda q, z: _compact_pairs(q, z, n, budget))(q, nnz))
     for mode in ("sort", "sort:4", "sort2", "sort2:64", "blocked",
-                 "legacy", "gather"):
+                 "legacy", "gather", "shift", "shift:16"):
         got = np.asarray(jax.jit(
             lambda q, z, m=mode: compact_pairs_any(q, z, n, budget, m)
         )(q, nnz))
@@ -333,10 +333,11 @@ def test_compact_mode_dispatch_and_e2e_equivalence():
         mode: serialize_encoded(
             Encoder(44100, CodecConfig(compact_mode=mode)).encode_pcm16(
                 pcm, 2))
-        for mode in ("sort", "sort2", "blocked", "legacy", "gather")
+        for mode in ("sort", "sort2", "blocked", "legacy", "gather",
+                     "shift")
     }
     assert (datas["sort"] == datas["sort2"] == datas["blocked"]
-            == datas["legacy"] == datas["gather"])
+            == datas["legacy"] == datas["gather"] == datas["shift"])
 
 
 def test_encode_many_batched_group_matches_serial():
@@ -523,3 +524,62 @@ def test_bucket_pad_frames_masked_before_compaction():
     cfg = replace(DEFAULT_CONFIG, encode_chunk_frames=4096)
     got = serialize_encoded(Encoder(44100, config=cfg).encode_pcm16(pcm, C))
     assert got == want
+
+
+def test_shift_compaction_matches_element_scatter():
+    """_compact_pairs_shift (monotone binary lane routing) must be
+    bit-identical to the legacy element scatter with NO density
+    restriction — unlike the sort modes it has no fast-path cond and no
+    key-width cap, so dense rows, all-kept rows, odd group sizes, huge n,
+    the sentinel-free last column, and the overflow-drop boundary all go
+    through the same code path."""
+    import jax
+    from glc_tpu.ops.encode import _compact_pairs, _compact_pairs_shift
+
+    rng = np.random.default_rng(23)
+    n, K, C = 1024, 8, 2
+
+    def both(q, nnz, G, n_, budget):
+        legacy = np.asarray(jax.jit(
+            lambda q, z: _compact_pairs(q, z, n_, budget))(q, nnz))
+        got = np.asarray(jax.jit(
+            lambda q, z: _compact_pairs_shift(q, z, n_, budget, G)
+        )(q, nnz))
+        np.testing.assert_array_equal(got, legacy)
+
+    # sparse typical + the largest legal word in the last column
+    q = np.where(rng.random((K, C, n)) < 0.05,
+                 rng.integers(-3000, 3000, (K, C, n)), 0).astype(np.int16)
+    q[..., n - 1] = -1
+    nnz = (q != 0).sum(-1).astype(np.int32)
+    both(q, nnz, 64, n, K * C * n // 8)
+    both(q, nnz, 16, n, K * C * n // 8)
+    both(q, nnz, 5, n, K * C * n // 8)    # non-divisor group → halved
+
+    # dense rows — the sort2 fallback case is just the normal path here
+    q2 = np.where(rng.random((K, C, n)) < 0.7,
+                  rng.integers(-3000, 3000, (K, C, n)), 0).astype(np.int16)
+    nnz2 = (q2 != 0).sum(-1).astype(np.int32)
+    both(q2, nnz2, 64, n, K * C * n // 16)  # overflow-drop boundary
+    both(q2, nnz2, 64, n, K * C * n // 8)
+
+    # budget boundary cutting through a group
+    both(q, nnz, 64, n, int(nnz.sum()) // 2)
+
+    # every slot kept (max distance = 0 everywhere)
+    q3 = rng.integers(1, 3000, (2, 2, n)).astype(np.int16)
+    both(q3, (q3 != 0).sum(-1).astype(np.int32), 64, n, 2 * 2 * n)
+
+    # all-zero input
+    qz = np.zeros((K, C, n), np.int16)
+    both(qz, (qz != 0).sum(-1).astype(np.int32), 64, n, K * C * n // 8)
+
+    # non-power-of-two n and n beyond the sort modes' 30-bit key cap
+    n3 = 96
+    q4 = np.where(rng.random((K, C, n3)) < 0.2,
+                  rng.integers(-3000, 3000, (K, C, n3)), 0).astype(np.int16)
+    both(q4, (q4 != 0).sum(-1).astype(np.int32), 16, n3, K * C * n3 // 4)
+    n4 = 40000
+    q5 = np.where(rng.random((1, 2, n4)) < 0.01,
+                  rng.integers(-3000, 3000, (1, 2, n4)), 0).astype(np.int16)
+    both(q5, (q5 != 0).sum(-1).astype(np.int32), 2, n4, n4 // 2)
