@@ -807,7 +807,9 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
     is download-wire-bound — ~85 MB of PCM must come down a link that
     sustains 6-50 MB/s, so BOTH the batched path and the serial loop run
     at the wire ceiling and vs_serial is parity plus wire-phase noise
-    (per-rep spread 0.5-1.9× measured for literally identical code).  The
+    (per-rep spread 0.5-1.9× measured for literally identical code; a
+    probe-free controlled A/B on-chip measured batched/serial at exactly
+    1.00 median over 8 interleaved reps).  The
     per-rep adjacent probes here attribute each side against the link it
     actually got: the honest claim is `pct_of_link_ceiling`, with
     vs_serial as the structural A/B.  Encode's interleaving measures
@@ -838,11 +840,17 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
     down120_enc = None  # from the first batched rep — no extra wire cost
     for r in range(reps120):
         for side in ((0, 1) if r % 2 == 0 else (1, 0)):
+            # probes run immediately before BOTH sides: the wire's state is
+            # conditioned by the immediately preceding transfer pattern (a
+            # controlled on-chip A/B/C measured a probe-preceded run 1.4×
+            # FASTER median than the identical unprobed run, 6/8 reps, while
+            # an earlier capture showed the opposite sign) — so a probe
+            # adjacent to only one side contaminates the A/B in an
+            # unpredictable direction.  With no probes at all, batched vs
+            # serial measured exactly 1.00 at this scale (both wire-bound).
+            # The batched side's probes also attribute its ceiling.
+            bw_u, bw_d = probe_up(), probe_down()
             if side == 0:
-                # probes run immediately before the BATCHED side (the one
-                # they attribute), whatever the A/B order — a once-per-rep
-                # probe would be minutes-stale for the side running second
-                bw_u, bw_d = probe_up(), probe_down()
                 t0 = time.perf_counter()
                 many120 = [serialize_encoded(e)
                            for e in enc.encode_many(tracks120)]
@@ -885,9 +893,10 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
     de_t, ds_t, d_ceils = [], [], []
     for r in range(reps120):                          # alternating A/B
         for side in ((0, 1) if r % 2 == 0 else (1, 0)):
+            # probes before BOTH sides — see the encode loop's note on the
+            # measured wire-preconditioning effect
+            bw_u, bw_d = probe_up(), probe_down()
             if side == 0:
-                # probes adjacent to the batched side (see encode loop)
-                bw_u, bw_d = probe_up(), probe_down()
                 t0 = time.perf_counter()
                 outs_b120 = dec.decode_many(eas120)
                 dt = time.perf_counter() - t0
