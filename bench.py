@@ -119,6 +119,8 @@ def emit(metric: str, duration_s: float, best: float, med: float,
         compact = {"x": line["value"], "med": line["median_value"]}
         if "pct_of_link_ceiling" in extra:
             compact["ceil_pct"] = extra["pct_of_link_ceiling"]
+        if "pct_of_link_ceiling_range" in extra:  # per-rep [min, max]
+            compact["cp"] = extra["pct_of_link_ceiling_range"]
         if "vs_serial" in extra:
             compact["vs_serial"] = extra["vs_serial"]
         if "stages" in extra:  # [pack, disp, wait] ms medians
@@ -141,6 +143,11 @@ def _ceiling_fields(times, ceils, duration_s):
         link_ceiling_x_realtime=round(ceils[i], 1),
         pct_of_link_ceiling=round(float(np.median(ratios)), 1),
         pct_of_link_ceiling_best_run=round(ratios[i], 1),
+        # [min, max] of the per-rep ratios: a tight range while absolute
+        # times swing 2x proves the best/median time spread is the wire's
+        # bandwidth phases, not the pipeline (each rep tracks its OWN
+        # adjacent probe)
+        pct_of_link_ceiling_range=[round(min(ratios)), round(max(ratios))],
     )
 
 

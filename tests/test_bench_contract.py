@@ -26,14 +26,15 @@ def _representative_summary():
         "long600": {"x": 8888.8, "pct_adj": 100.0,
                     "runs": [8888.8, 8888.8, 8888.8, 8888.8], "fresh": True},
         "decode": {"x": 8888.8, "med": 8888.8, "ceil_pct": 100.0,
-                   "st": [888, 888, 888]},
-        "flac": {"x": 8888.8, "med": 8888.8, "ceil_pct": 100.0},
+                   "cp": [888, 888], "st": [888, 888, 888]},
+        "flac": {"x": 8888.8, "med": 8888.8, "ceil_pct": 100.0,
+                 "cp": [888, 888]},
         "album_enc": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88},
         "album_dec": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88},
         "album120_enc": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88,
-                         "ceil_pct": 100.0},
+                         "ceil_pct": 100.0, "cp": [888, 888]},
         "album120_dec": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88,
-                         "ceil_pct": 100.0},
+                         "ceil_pct": 100.0, "cp": [888, 888]},
         "dev": {"enc_x": 88888.0, "dec_x": 88888.0, "scatter_ms": 888.8,
                 "mdct_ms": 88.88, "overhead_ms": 888.8},
         "quality": {"compat_snr": -88.8, "clean_snr": 88.8,
@@ -51,6 +52,7 @@ def _representative_flagship():
         "link_ceiling_x_realtime": 8888.8,
         "pct_of_link_ceiling": 100.0,
         "pct_of_link_ceiling_best_run": 100.0,
+        "pct_of_link_ceiling_range": [888, 888],
     }
 
 
