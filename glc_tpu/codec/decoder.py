@@ -470,7 +470,10 @@ class Decoder:
         `stats`, if given, accumulates wall-time stage attribution into the
         dict: pack_ms (host _packed_slices), disp_ms (upload staging +
         dispatch + async-download kickoff), wait_ms (blocked in download
-        gathers + trim).  It instruments the SHIPPED loop, so bench
+        gathers + trim), plus the wire-transfer counts up_n (chunk-words
+        uploads) and down_n (download pieces) — each transfer pays the
+        relay's measured ~28 ms per-call floor, which a bytes-only link
+        ceiling omits.  It instruments the SHIPPED loop, so bench
         attribution can never desynchronize from what this method does.
         """
         for _pos, flat in self._pipelined_i16_chunks(
@@ -503,6 +506,8 @@ class Decoder:
         if stats is not None:
             for k in ("pack_ms", "disp_ms", "wait_ms"):
                 stats.setdefault(k, 0.0)
+            for k in ("up_n", "down_n"):
+                stats.setdefault(k, 0)
         _tick = time.perf_counter
 
         def _add(key: str, t0: float) -> float:
@@ -576,9 +581,11 @@ class Decoder:
                 )
                 last = start + chunk >= F
                 rows = prefix_rows(valid + 1, chunk + 1)
-                handles.append(
-                    (pos, _piece_download(hops_d, rows), valid, last)
-                )
+                pieces = _piece_download(hops_d, rows)
+                handles.append((pos, pieces, valid, last))
+                if stats is not None:
+                    stats["up_n"] += 1
+                    stats["down_n"] += len(pieces)
                 _add("disp_ms", t0)
                 # bound in-flight device memory, keep the pipeline deep
                 if len(handles) > _PIPELINE_DEPTH:

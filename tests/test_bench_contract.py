@@ -26,9 +26,10 @@ def _representative_summary():
         "long600": {"x": 8888.8, "pct_adj": 100.0,
                     "runs": [8888.8, 8888.8, 8888.8, 8888.8], "fresh": True},
         "decode": {"x": 8888.8, "med": 8888.8, "ceil_pct": 100.0,
-                   "cp": [888, 888], "st": [888, 888, 888]},
+                   "cp": [888, 888], "ceil_fl": 100.0,
+                   "st": [888, 888, 888]},
         "flac": {"x": 8888.8, "med": 8888.8, "ceil_pct": 100.0,
-                 "cp": [888, 888]},
+                 "cp": [888, 888], "ceil_fl": 100.0},
         "album_enc": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88},
         "album_dec": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88},
         "album120_enc": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88,

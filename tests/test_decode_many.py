@@ -258,9 +258,15 @@ def test_decode_i16_stats_hook_accumulates_and_is_inert():
     stats: dict = {}
     with_stats = dec.decode_i16(ea, stats=stats)
     np.testing.assert_array_equal(plain, with_stats)
-    assert set(stats) == {"pack_ms", "disp_ms", "wait_ms"}
+    assert set(stats) == {"pack_ms", "disp_ms", "wait_ms", "up_n", "down_n"}
     assert stats["pack_ms"] > 0 and stats["disp_ms"] > 0
     assert stats["wait_ms"] >= 0
+    # transfer counts: one words upload per chunk, >=1 download piece per
+    # chunk (bench's protocol-ceiling floor model consumes these)
+    F = ea.frame_set.num_frames
+    chunks = -(-F // dec.config.decode_chunk_frames)
+    assert stats["up_n"] == chunks
+    assert stats["down_n"] >= chunks
 
 
 def test_decode_many_pipelined_mixed_geometry():
