@@ -22,11 +22,13 @@ that 500× target for every metric.
 Link-ceiling attribution: the host↔device relay in this environment swings
 6-70 MB/s between runs and is HALF-DUPLEX with asymmetric directions, so a
 ceiling probed once is meaningless for a run made seconds later.  Every
-timed pipeline run is therefore paired with an ADJACENT bandwidth probe of
-the same transfer direction(s); each metric's official
-`pct_of_link_ceiling` is the MEDIAN over runs of (achieved / own-probe
+timed pipeline run is therefore BRACKETED by adjacent bandwidth probes of
+the same transfer direction(s) — the probe just before it and the one just
+after (the next run's pre-probe, so bracketing costs no extra wire) — and
+attributed against their mean; each metric's official
+`pct_of_link_ceiling` is the MEDIAN over runs of (achieved / own-probes
 ceiling) — the best single pairing is also reported but is noisy in both
-directions (a probe that under-reads the link its run actually got shows
+directions (probes that under-read the link their run actually got show
 >100%).
 
 Upload probes must CONSUME: `device_put` + `block_until_ready` completes
@@ -274,15 +276,25 @@ def _longfile_measure() -> dict:
 
     probe_down()  # compile
 
-    hots, ceils = [], []
+    # Each hot run is BRACKETED by probe pairs (one closing pair after the
+    # last run) and attributed against their mean: these runs are 10-25 s
+    # each, long enough for the wire phase to shift inside them — a
+    # decaying phase halved a pre-probe-only pct in one capture (runs
+    # 58.7→42.4x while the pre-probes read the earlier, faster wire).
+    plog, hots = [], []
     for _ in range(4):
-        bw_u = probe_up()
-        bw_d = probe_down()
+        plog.append((probe_up(), probe_down()))
         t0 = time.perf_counter()
         serialize_encoded(enc.encode_pcm16(long_pcm, 2))
         hots.append(time.perf_counter() - t0)
-        floor_s = long_pcm.nbytes / bw_u + container_bytes / bw_d
-        ceils.append(long_s / floor_s)
+    plog.append((probe_up(), probe_down()))  # closing bracket
+    ceils = [
+        long_s / float(np.mean([
+            long_pcm.nbytes / u + container_bytes / d
+            for u, d in plog[k : k + 2]
+        ]))
+        for k in range(len(hots))
+    ]
     i = int(np.argmin(hots))
     ratios = [100.0 * (long_s / h) / c for h, c in zip(hots, ceils)]
     return {
@@ -550,30 +562,42 @@ def main() -> None:
     # spreads any phase across all metrics; the adjacent probes still
     # attribute each run against its own link conditions. ---
     container_bytes = len(data)
-    enc_times, enc_ceils = [], []
-    dec_times, dec_ceils, dec_ceils_fl, dec_stages = [], [], [], []
-    flac_times, flac_ceils, flac_ceils_fl = [], [], []
+    # Each run is attributed against the MEAN of its BRACKETING probe
+    # pairs: the pair just before it and the pair just after it — which is
+    # the next metric's pre-probe, so bracketing costs zero extra wire
+    # (the last run of the capture falls back to its pre-probe alone).  A
+    # pre-probe-only attribution misreads any wire-phase shift that lands
+    # inside the run itself: observed per-rep ceiling-ratio ranges of
+    # [32, 196] on a swinging wire, and a decaying phase halved the
+    # long-file section's pre-probe-only pct in one capture.
+    probe_log: list = []          # chronological (bw_u, bw_d)
+
+    def take_probe() -> None:
+        probe_log.append((probe_up(), probe_down()))
+
+    def floor_secs(idx: int, up_b: float, down_b: float) -> float:
+        """Wire-floor seconds for the run bracketed by probe_log[idx] and
+        probe_log[idx+1]: mean of the two probes' transfer-time estimates
+        (pre-probe alone when no probe follows)."""
+        pairs = probe_log[idx : idx + 2]
+        return float(np.mean([up_b / u + down_b / d for u, d in pairs]))
+
+    enc_times, dec_times, flac_times = [], [], []
+    dec_stages, flac_stages = [], []
     for _ in range(runs):
-        bw_u, bw_d = probe_up(), probe_down()
+        take_probe()
         t0 = time.perf_counter()
         data = serialize_encoded(enc.encode_pcm16(samples, 2))
-        dt = time.perf_counter() - t0
-        enc_times.append(dt)
-        floor_s = up_bytes / bw_u + container_bytes / bw_d
-        enc_ceils.append(duration_s / floor_s)
+        enc_times.append(time.perf_counter() - t0)
 
-        bw_u, bw_d = probe_up(), probe_down()
+        take_probe()
         st: dict = {}
         t0 = time.perf_counter()
         pcm = dec.decode_i16(encoded, stats=st)
-        dt = time.perf_counter() - t0
-        dec_times.append(dt)
+        dec_times.append(time.perf_counter() - t0)
         dec_stages.append(st)
-        floor_s = words_bytes / bw_u + down_bytes / bw_d
-        dec_ceils.append(duration_s / floor_s)
-        dec_ceils_fl.append(duration_s / _floor_adj(floor_s, st))
 
-        bw_u, bw_d = probe_up(), probe_down()
+        take_probe()
         stf: dict = {}
         t0 = time.perf_counter()
         flac_bytes = encode_flac_i16_streaming(
@@ -582,11 +606,23 @@ def main() -> None:
                 stats=stf),
             sample_rate, 2, 5, n_total // 2
         )
-        dt = time.perf_counter() - t0
-        flac_times.append(dt)
-        floor_s = words_bytes / bw_u + down_bytes / bw_d
-        flac_ceils.append(duration_s / floor_s)
-        flac_ceils_fl.append(duration_s / _floor_adj(floor_s, stf))
+        flac_times.append(time.perf_counter() - t0)
+        flac_stages.append(stf)
+
+    # per-run ceilings from the bracketing probes (post-loop: the post-
+    # probe of run k is the pre-probe of run k+1 in the interleaved order)
+    enc_ceils = [duration_s / floor_secs(3 * k, up_bytes, container_bytes)
+                 for k in range(runs)]
+    dec_floors = [floor_secs(3 * k + 1, words_bytes, down_bytes)
+                  for k in range(runs)]
+    dec_ceils = [duration_s / f for f in dec_floors]
+    dec_ceils_fl = [duration_s / _floor_adj(f, st)
+                    for f, st in zip(dec_floors, dec_stages)]
+    flac_floors = [floor_secs(3 * k + 2, words_bytes, down_bytes)
+                   for k in range(runs)]
+    flac_ceils = [duration_s / f for f in flac_floors]
+    flac_ceils_fl = [duration_s / _floor_adj(f, stf)
+                     for f, stf in zip(flac_floors, flac_stages)]
 
     # Timeout resilience: after every section below, the flagship line is
     # re-printed with the summary-so-far (same format as the final line).
@@ -898,7 +934,7 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
     # (observed: three same-signed 0.36x decode reps from identical code
     # paths); alternation turns a phase into symmetric noise the median
     # absorbs
-    e_t, s_t, e_ceils = [], [], []
+    e_t, s_t, e_idx, plog = [], [], [], []
     up120 = sum(t.nbytes for t, _c in tracks120)
     down120_enc = None  # from the first batched rep — no extra wire cost
     for r in range(reps120):
@@ -911,9 +947,13 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
             # adjacent to only one side contaminates the A/B in an
             # unpredictable direction.  With no probes at all, batched vs
             # serial measured exactly 1.00 at this scale (both wire-bound).
-            # The batched side's probes also attribute its ceiling.
-            bw_u, bw_d = probe_up(), probe_down()
+            # The probes also BRACKET the batched side's ceiling (the next
+            # side's pre-probe doubles as the post-probe; the capture's
+            # last run falls back to its pre-probe): these runs are
+            # seconds long — long enough for the phase to shift inside.
+            plog.append((probe_up(), probe_down()))
             if side == 0:
+                e_idx.append(len(plog) - 1)
                 t0 = time.perf_counter()
                 many120 = [serialize_encoded(e)
                            for e in enc.encode_many(tracks120)]
@@ -921,13 +961,16 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
                 e_t.append(dt)
                 if down120_enc is None:
                     down120_enc = sum(len(b) for b in many120)
-                floor_s = up120 / bw_u + down120_enc / bw_d
-                e_ceils.append(dur120 / floor_s)
             else:
                 t0 = time.perf_counter()
                 ser120 = [serialize_encoded(enc.encode_pcm16(t, c))
                           for t, c in tracks120]
                 s_t.append(time.perf_counter() - t0)
+    e_ceils = [
+        dur120 / float(np.mean([up120 / u + down120_enc / d
+                                for u, d in plog[i : i + 2]]))
+        for i in e_idx
+    ]
     assert many120 == ser120, "segmented album encode must be bit-identical"
     vs120 = float(np.median([s_ / a for a, s_ in zip(e_t, s_t)]))
     emit(
@@ -953,23 +996,26 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
         * ea.header.channels * 2
         for ea in eas120
     )
-    de_t, ds_t, d_ceils = [], [], []
+    de_t, ds_t, d_idx, dplog = [], [], [], []
     for r in range(reps120):                          # alternating A/B
         for side in ((0, 1) if r % 2 == 0 else (1, 0)):
-            # probes before BOTH sides — see the encode loop's note on the
-            # measured wire-preconditioning effect
-            bw_u, bw_d = probe_up(), probe_down()
+            # probes before BOTH sides, bracketing the batched side's
+            # ceiling — see the encode loop's note
+            dplog.append((probe_up(), probe_down()))
             if side == 0:
+                d_idx.append(len(dplog) - 1)
                 t0 = time.perf_counter()
                 outs_b120 = dec.decode_many(eas120)
-                dt = time.perf_counter() - t0
-                de_t.append(dt)
-                floor_s = words120 / bw_u + down120 / bw_d
-                d_ceils.append(dur120 / floor_s)
+                de_t.append(time.perf_counter() - t0)
             else:
                 t0 = time.perf_counter()
                 outs_s120 = [dec.decode_i16(ea) for ea in eas120]
                 ds_t.append(time.perf_counter() - t0)
+    d_ceils = [
+        dur120 / float(np.mean([words120 / u + down120 / d
+                                for u, d in dplog[i : i + 2]]))
+        for i in d_idx
+    ]
     for ob, os_ in zip(outs_b120, outs_s120):
         assert len(ob) == len(os_)
         assert int(np.abs(ob.astype(np.int32)
