@@ -1319,15 +1319,45 @@ def _device_compute_diagnostics(enc, dec, encoded, samples, duration_s):
     for o in outs:
         np.asarray(o)
     ddt = (time.perf_counter() - t0) / len(carries)
-    dec_x = duration_s / ddt
+    # ONE call decodes `valid` frames — valid·n/sr seconds of audio, NOT
+    # the whole file: since decode_chunk_frames dropped to 1408 (r5) the
+    # 60 s file is TWO chunks, and scaling a single-chunk call by the full
+    # 60 s overstated dec_x ~1.8× (r5_run1/run2 artifacts).  The forced
+    # per-call wall is also floor-bound (max(program, ~30 ms relay gap)
+    # with 8 pipelined calls), so the pure program time comes from an
+    # in-program repetition slope, same method as scatter/mdct: N chunk
+    # decodes inside one fori_loop, marginal cost = on-chip time.
+    sr = encoded.header.sample_rate
+    dec_call_s = valid * 1024 / sr
+
+    # perturb the LAST REAL pair's q low bit per iteration: the IMDCT
+    # consumes the scatter of the kv section, so a real-pair perturbation
+    # forces the whole decode to recompute every rep (a pad-slot xor
+    # leaves the coefficient path loop-invariant and XLA may hoist it —
+    # same reasoning as scatter_slope's kept-value perturb)
+    kv_idx = max(int(fs.nnz[:valid].sum()) - 1, 0)
+
+    @_partial(jax.jit, static_argnames=("reps",))
+    def dec_slope(w, i0, *, reps):
+        def body(i, acc):
+            ww = w.at[kv_idx].set(w[kv_idx] ^ (i & 1))
+            hops, _carry = drun(ww)
+            return acc + hops.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(i0, i0 + reps, body, jnp.int32(0))
+
+    dec_prog_ms = _slope(
+        lambda i0, r: dec_slope(carries[0], i0, reps=r))
+    dec_x = dec_call_s / (dec_prog_ms / 1000.0) if dec_prog_ms > 0 else 0.0
     print(
-        f"# decode device-compute-only (forced): {ddt*1000:.2f} ms for "
-        f"{duration_s:.0f}s stereo = {dec_x:.0f}x realtime "
+        f"# decode device-compute: forced per-call wall {ddt*1000:.2f} ms "
+        f"for {dec_call_s:.1f}s of audio (floor-bound); in-program slope "
+        f"{dec_prog_ms:.2f} ms/chunk-decode = {dec_x:.0f}x realtime "
         f"on-chip",
         file=sys.stderr,
     )
     SUMMARY["dev"] = {
         "enc_x": round(enc_x, 0), "dec_x": round(dec_x, 0),
+        "dec_ms": round(dec_prog_ms, 2),
         "scatter_ms": round(scatter_ms, 1), "mdct_ms": round(mdct_ms, 2),
         "overhead_ms": round(overhead_ms, 1),
     }

@@ -36,8 +36,9 @@ def _representative_summary():
                          "ceil_pct": 100.0, "cp": [888, 888]},
         "album120_dec": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88,
                          "ceil_pct": 100.0, "cp": [888, 888]},
-        "dev": {"enc_x": 88888.0, "dec_x": 88888.0, "scatter_ms": 888.8,
-                "mdct_ms": 88.88, "overhead_ms": 888.8},
+        "dev": {"enc_x": 88888.0, "dec_x": 88888.0, "dec_ms": 888.88,
+                "scatter_ms": 888.8, "mdct_ms": 88.88,
+                "overhead_ms": 888.8},
         "quality": {"compat_snr": -88.8, "clean_snr": 88.8,
                     "compat_maxerr_pct": 888.8, "clean_maxerr_pct": 88.8},
     }
