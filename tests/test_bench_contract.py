@@ -109,6 +109,16 @@ def test_pathological_summary_never_breaks_flagship():
     assert d["pct_of_link_ceiling"] == 100.0
 
 
+def test_pct_of_median_share():
+    """_pct_of pairs each run with ITS OWN ceiling and takes the median of
+    the per-run shares (not best-time over best-ceiling)."""
+    # 60 s achieved in 0.5 s = 120x; ceilings 120/240/120x → shares
+    # 100/50/100 → median 100.0
+    assert bench._pct_of([0.5, 0.5, 0.5], [120.0, 240.0, 120.0], 60.0) == 100.0
+    # a single run pairs with its single ceiling
+    assert bench._pct_of([0.6], [50.0], 60.0) == 200.0
+
+
 def test_emit_records_summary_keys():
     bench.SUMMARY.clear()
     line = bench.emit("decode_realtime_factor_44k_stereo", 60.0, 0.3, 0.32,
