@@ -748,7 +748,8 @@ def main() -> None:
     sys.stdout.flush()
 
     try:
-        _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down)
+        _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down,
+                        call_floor_s)
     except Exception as e:
         print(f"# album120 bench failed: {e}", file=sys.stderr)
 
@@ -897,7 +898,8 @@ def _album_bench(enc, dec, duration_s, sample_rate, runs) -> None:
     )
 
 
-def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
+def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down,
+                    call_floor_s: float = 0.0) -> None:
     """Album at realistic track length: 4×120 s.  Each track is
     MULTI-segment/multi-chunk, so this exercises the multi-track pipelines
     at the scale the reference GUI's album export handles serially
@@ -996,7 +998,7 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
         * ea.header.channels * 2
         for ea in eas120
     )
-    de_t, ds_t, d_idx, dplog = [], [], [], []
+    de_t, ds_t, d_idx, d_stats, dplog = [], [], [], [], []
     for r in range(reps120):                          # alternating A/B
         for side in ((0, 1) if r % 2 == 0 else (1, 0)):
             # probes before BOTH sides, bracketing the batched side's
@@ -1004,17 +1006,28 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
             dplog.append((probe_up(), probe_down()))
             if side == 0:
                 d_idx.append(len(dplog) - 1)
+                stb: dict = {}
                 t0 = time.perf_counter()
-                outs_b120 = dec.decode_many(eas120)
+                outs_b120 = dec.decode_many(eas120, stats=stb)
                 de_t.append(time.perf_counter() - t0)
+                d_stats.append(stb)
             else:
                 t0 = time.perf_counter()
                 outs_s120 = [dec.decode_i16(ea) for ea in eas120]
                 ds_t.append(time.perf_counter() - t0)
-    d_ceils = [
-        dur120 / float(np.mean([words120 / u + down120 / d
-                                for u, d in dplog[i : i + 2]]))
+    d_floors = [
+        float(np.mean([words120 / u + down120 / d
+                       for u, d in dplog[i : i + 2]]))
         for i in d_idx
+    ]
+    d_ceils = [dur120 / f for f in d_floors]
+    # protocol ceiling: ~48 transfers per rep (16 chunks x upload+pieces)
+    # is ~1.4 s of per-call floors on a ~3 s fast-phase rep — the counted
+    # floors beyond the probes' two (same model as the 60 s decode metric)
+    d_ceils_fl = [
+        dur120 / (f + max(0, st.get("up_n", 0) + st.get("down_n", 0) - 2)
+                  * call_floor_s)
+        for f, st in zip(d_floors, d_stats)
     ]
     for ob, os_ in zip(outs_b120, outs_s120):
         assert len(ob) == len(os_)
@@ -1025,6 +1038,7 @@ def _album120_bench(enc, dec, sample_rate, runs, probe_up, probe_down) -> None:
         "album120_decode_realtime_factor_44k_stereo", dur120,
         min(de_t), float(np.median(de_t)),
         key="album120_dec", vs_serial=round(vs_d120, 2),
+        pct_of_protocol_ceiling=_pct_of(de_t, d_ceils_fl, dur120),
         **_ceiling_fields(de_t, d_ceils, dur120),
     )
     print(

@@ -627,10 +627,15 @@ class Decoder:
             return np.empty(0, np.int16)
         return np.concatenate(parts)
 
-    def decode_many(self, encoded_list) -> list:
+    def decode_many(self, encoded_list, stats: Optional[dict] = None) -> list:
         """Multi-track decode to int16 — the decode-side analog of
         `Encoder.encode_many` (no reference analog; the GUI album export
         decodes files serially, reference src/ui.rs:317-359).
+
+        `stats` forwards to the pipelined chunk scheduler's stage/transfer
+        attribution hook (see `decode_i16_stream`); it counts the
+        MULTI-chunk tracks' transfers only — single-chunk groups dispatch
+        batched programs whose transfer geometry differs per group.
 
         Tracks whose packed upload lands in the same (chunk, budget,
         rbudget) buckets — the transfer-shape ladder makes same-material
@@ -731,7 +736,7 @@ class Decoder:
                     (i, ea) for recs in multis.values()
                     for i, ea, _F in recs
                 )
-                self._decode_streaming_pipelined(flat, results)
+                self._decode_streaming_pipelined(flat, results, stats=stats)
 
         # empty tracks (F == 0) decode through the stream path
         for i, ea in fallbacks:
@@ -745,7 +750,8 @@ class Decoder:
             ).copy()
         return results
 
-    def _decode_streaming_pipelined(self, recs, results) -> None:
+    def _decode_streaming_pipelined(self, recs, results,
+                                    stats: Optional[dict] = None) -> None:
         """Multi-chunk tracks, DEFAULT path: serial chunk order across the
         playlist with ONE global in-flight window — the playlist case of
         `_pipelined_i16_chunks` (see its docstring; a per-track window
@@ -755,7 +761,7 @@ class Decoder:
         BIT-identical to `decode_i16` (same core).
         """
         parts: dict = {i: [] for i, _ in recs}
-        for pos, flat in self._pipelined_i16_chunks(recs):
+        for pos, flat in self._pipelined_i16_chunks(recs, stats=stats):
             parts[pos].append(flat)
         for i, _ in recs:
             results[i] = (

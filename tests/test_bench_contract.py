@@ -35,7 +35,8 @@ def _representative_summary():
         "album120_enc": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88,
                          "ceil_pct": 100.0, "cp": [888, 888]},
         "album120_dec": {"x": 8888.8, "med": 8888.8, "vs_serial": 88.88,
-                         "ceil_pct": 100.0, "cp": [888, 888]},
+                         "ceil_pct": 100.0, "cp": [888, 888],
+                         "ceil_fl": 100.0},
         "dev": {"enc_x": 88888.0, "dec_x": 88888.0, "dec_ms": 888.88,
                 "scatter_ms": 888.8, "mdct_ms": 88.88,
                 "overhead_ms": 888.8},

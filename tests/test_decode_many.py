@@ -284,7 +284,11 @@ def test_decode_many_pipelined_mixed_geometry():
         GaplessInfo,
     )
 
-    cfg = CodecConfig(decode_chunk_frames=128)  # force multi-chunk at 1-2 s
+    # 2 s of audio is 86 hop-frames; 32-frame chunks force GENUINE
+    # multi-chunk tracks (the transfer-count assertion below pins it — an
+    # earlier revision used 128 and silently exercised only the
+    # single-chunk batch path)
+    cfg = CodecConfig(decode_chunk_frames=32)
     enc = Encoder(44100)
     rng = np.random.default_rng(3)
     t = np.arange(2 * 44100, dtype=np.float32) / 44100
@@ -306,6 +310,19 @@ def test_decode_many_pipelined_mixed_geometry():
     # reads each track's channel count from its own header, so mono and
     # stereo multi-chunk tracks share the same global pipelined window
     dec = Decoder(2, 44100, config=cfg)
-    got = dec.decode_many(eas)
+    stats: dict = {}
+    got = dec.decode_many(eas, stats=stats)
     for i, ea in enumerate(eas):
         np.testing.assert_array_equal(got[i], dec.decode_i16(ea)), i
+    # the stats hook counts the pipelined (multi-chunk) tracks' transfers:
+    # one words upload per chunk, >=1 download piece per chunk (bench's
+    # album protocol-ceiling floor model consumes these); output above is
+    # already pinned identical with the hook active
+    multi_chunks = sum(
+        -(-ea.frame_set.num_frames // cfg.decode_chunk_frames)
+        for ea in eas
+        if ea.frame_set.num_frames > cfg.decode_chunk_frames
+    )
+    assert multi_chunks > 0, "playlist must contain multi-chunk tracks"
+    assert stats["up_n"] == multi_chunks
+    assert stats["down_n"] >= multi_chunks
