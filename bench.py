@@ -209,13 +209,16 @@ def _longfile_measure() -> dict:
     directions (106 MB PCM up + the container's bytes down), same
     accounting as the 60 s encode metric.
 
-    The probe is a CONSUMING upload (device_put + a 1-element reduction
-    round-trip) of the SAME 106 MB size class as the pipeline's own
-    upload: the wire's burst credit covers tens of MB, so a smaller probe
-    over-reads the sustained regime this metric lives in (measured: 32 MB
-    probes 40-50 MB/s adjacent to a 106 MB pipeline sustaining 13 MB/s —
-    the metric read "26% of ceiling" against a ceiling the wire cannot
-    give 106 MB; the wire itself swings 6-50 MB/s between minutes).
+    The probe is a CONSUMING upload (a 1-element reduction round-trip) of
+    the SAME 106 MB size class AND the same piecewise upload protocol as
+    the pipeline's own upload (upload_resident): the wire's burst credit
+    covers tens of MB, so a smaller probe over-reads the sustained regime
+    this metric lives in (measured: 32 MB probes 40-50 MB/s adjacent to a
+    106 MB pipeline sustaining 13 MB/s — the metric read "26% of ceiling"
+    against a ceiling the wire cannot give 106 MB), and a single-transfer
+    probe measures a different regime than the shipped 16 MB-piece
+    protocol (measured: single 17-44 MB/s across sessions vs 28-34 MB/s
+    stable piecewise; the wire itself swings 6-50 MB/s between minutes).
 
     Runs in-process by default: round 4 established that the round-3
     "in-bench vs standalone" long-file gap was wire phases misattributed
@@ -235,10 +238,20 @@ def _longfile_measure() -> dict:
     probe_buf = long_pcm.copy()
     _consume = jax.jit(lambda x: x[:1].astype(jnp.int32).sum())
 
+    # The probe uploads through the SAME piecewise protocol the encoder
+    # ships (upload_resident: 16 MB pieces + device concat — chosen
+    # because the relay's sustained single-transfer rate swings far below
+    # its burst rate): a single 106 MB device_put probes a DIFFERENT wire
+    # regime, over-reading the ceiling in burst-friendly phases (measured:
+    # the pipeline stable at 28-34 MB/s vs single-transfer probes at
+    # 17-44 MB/s across sessions — one capture read 68% of a ceiling the
+    # shipped protocol cannot reach, others 97%).
+    from glc_tpu.codec.encoder import upload_resident
+
     def probe_up() -> float:
         np.add(probe_buf, 1, out=probe_buf)
         t0 = time.perf_counter()
-        np.asarray(_consume(jax.device_put(probe_buf)))
+        np.asarray(_consume(upload_resident(probe_buf)))
         return probe_buf.nbytes / (time.perf_counter() - t0)
 
     enc = Encoder(sample_rate)
