@@ -294,25 +294,59 @@ def _longfile_measure() -> dict:
     # each, long enough for the wire phase to shift inside them — a
     # decaying phase halved a pre-probe-only pct in one capture (runs
     # 58.7→42.4x while the pre-probes read the earlier, faster wire).
-    plog, hots = [], []
+    # relay per-call floor for the protocol model (tiny materializes; see
+    # the main loop's note — the floors are invisible in slow phases and
+    # 10-30% of fast-phase runs)
+    _tiny = jax.device_put(np.zeros(8, np.int16))
+    jax.block_until_ready(_tiny)
+    _fl = []
+    for _i in range(5):
+        src = _bump(_tiny, np.int16(64 + _i))
+        jax.block_until_ready(src)
+        t0 = time.perf_counter()
+        np.asarray(src)
+        _fl.append(time.perf_counter() - t0)
+    call_floor_s = float(np.median(_fl))
+
+    plog, hots, run_stats = [], [], []
     for _ in range(4):
         plog.append((probe_up(), probe_down()))
+        st: dict = {}
         t0 = time.perf_counter()
-        serialize_encoded(enc.encode_pcm16(long_pcm, 2))
+        serialize_encoded(enc.encode_pcm16(long_pcm, 2, stats=st))
         hots.append(time.perf_counter() - t0)
+        run_stats.append(st)
     plog.append((probe_up(), probe_down()))  # closing bracket
-    ceils = [
-        long_s / float(np.mean([
+    floors = [
+        float(np.mean([
             long_pcm.nbytes / u + container_bytes / d
             for u, d in plog[k : k + 2]
         ]))
         for k in range(len(hots))
     ]
+    ceils = [long_s / f for f in floors]
+    # protocol floors: the upload probe shares the pipeline's piecewise
+    # protocol (its bandwidth already embeds the upload pieces' floors for
+    # the same byte count), so only the per-segment DOWNLOAD transfers
+    # beyond the single download probe add uncounted floors
+    from glc_tpu.codec.encoder import upload_piece_count
+
+    probe_pieces = upload_piece_count(probe_buf)
+    ceils_fl = [
+        long_s / (f + (max(0, st.get("up_n", 0) - probe_pieces)
+                       + max(0, st.get("down_n", 0) - 1)) * call_floor_s)
+        for f, st in zip(floors, run_stats)
+    ]
     i = int(np.argmin(hots))
     ratios = [100.0 * (long_s / h) / c for h, c in zip(hots, ceils)]
+    ratios_fl = [100.0 * (long_s / h) / c for h, c in zip(hots, ceils_fl)]
+    st0 = run_stats[0]
     return {
         "x": round(long_s / hots[i], 1),
         "pct_adj": round(float(np.median(ratios)), 1),
+        "pct_adj_fl": round(float(np.median(ratios_fl)), 1),
+        "transfers": [st0.get("up_n", 0), st0.get("down_n", 0)],
+        "floor_ms": round(call_floor_s * 1e3, 1),
         "runs": [round(long_s / h, 1) for h in hots],
         "warm_ms": round(warm * 1000),
         "warm2_ms": round(warm2 * 1000),
@@ -361,12 +395,16 @@ def _emit_longfile(res: dict, fresh: bool) -> None:
         "unit": "x_realtime",
         "vs_baseline": round(res["x"] / 500.0, 3),
         "pct_of_adjacent_probes": res["pct_adj"],
+        "pct_of_protocol_ceiling": res.get("pct_adj_fl"),
+        "transfers": res.get("transfers"),
+        "call_floor_ms": res.get("floor_ms"),
         "fresh_subprocess": fresh,
     }
     print(json.dumps(line))
     sys.stdout.flush()
     SUMMARY["long600"] = {
-        "x": res["x"], "pct_adj": res["pct_adj"], "runs": res["runs"],
+        "x": res["x"], "pct_adj": res["pct_adj"],
+        "ceil_fl": res.get("pct_adj_fl"), "runs": res["runs"],
         "fresh": fresh,
     }
     print(
@@ -596,12 +634,14 @@ def main() -> None:
         return float(np.mean([up_b / u + down_b / d for u, d in pairs]))
 
     enc_times, dec_times, flac_times = [], [], []
-    dec_stages, flac_stages = [], []
+    enc_stages, dec_stages, flac_stages = [], [], []
     for _ in range(runs):
         take_probe()
+        ste: dict = {}
         t0 = time.perf_counter()
-        data = serialize_encoded(enc.encode_pcm16(samples, 2))
+        data = serialize_encoded(enc.encode_pcm16(samples, 2, stats=ste))
         enc_times.append(time.perf_counter() - t0)
+        enc_stages.append(ste)
 
         take_probe()
         st: dict = {}
@@ -624,8 +664,11 @@ def main() -> None:
 
     # per-run ceilings from the bracketing probes (post-loop: the post-
     # probe of run k is the pre-probe of run k+1 in the interleaved order)
-    enc_ceils = [duration_s / floor_secs(3 * k, up_bytes, container_bytes)
-                 for k in range(runs)]
+    enc_floors = [floor_secs(3 * k, up_bytes, container_bytes)
+                  for k in range(runs)]
+    enc_ceils = [duration_s / f for f in enc_floors]
+    enc_ceils_fl = [duration_s / _floor_adj(f, st)
+                    for f, st in zip(enc_floors, enc_stages)]
     dec_floors = [floor_secs(3 * k + 1, words_bytes, down_bytes)
                   for k in range(runs)]
     dec_ceils = [duration_s / f for f in dec_floors]
@@ -644,6 +687,7 @@ def main() -> None:
     best, med = min(enc_times), float(np.median(enc_times))
     flagship = emit(
         "encode_realtime_factor_44k_stereo", duration_s, best, med,
+        pct_of_protocol_ceiling=_pct_of(enc_times, enc_ceils_fl, duration_s),
         **_ceiling_fields(enc_times, enc_ceils, duration_s),
     )
     print(

@@ -24,6 +24,7 @@ kept-coefficient count exceeds the compaction budget.
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import jax
@@ -204,6 +205,17 @@ def upload_resident(xup: np.ndarray):
     return _concat_pieces(*pieces)
 
 
+def upload_piece_count(xup: np.ndarray) -> int:
+    """How many wire transfers `upload_resident(xup)` makes (the encoder
+    stats hook counts them; bench's protocol-ceiling floor model consumes
+    the count)."""
+    if xup.nbytes <= 2 * _UPLOAD_PIECE_BYTES:
+        return 1
+    row_bytes = xup.nbytes // xup.shape[0]
+    step = max(1, _UPLOAD_PIECE_BYTES // row_bytes)
+    return -(-xup.shape[0] // step)
+
+
 def zero_extend(padded: np.ndarray, need: int) -> np.ndarray:
     """Zero-extend the signal's sample axis to `need` (no-op when long
     enough).  Shared by the serial encoder's resident-signal extension and
@@ -216,7 +228,8 @@ def zero_extend(padded: np.ndarray, need: int) -> np.ndarray:
 
 
 def parse_segment_download(first: np.ndarray, out_d, *, k: int, valid: int,
-                           C: int, budget: int, cut0: int):
+                           C: int, budget: int, cut0: int,
+                           stats_hook: Optional[dict] = None):
     """Parse one packed encode-segment download (the [k·(2C+1) + budget]
     layout of encode_interleaved_device): per-frame stats plus the
     adaptively-fetched packed pairs.  Shared by the solo, single-segment
@@ -242,7 +255,12 @@ def parse_segment_download(first: np.ndarray, out_d, *, k: int, valid: int,
     elif wanted <= budget:
         if wanted > cut0:
             cut = min(_len_bucket(wanted, 5), budget)
+            t0 = time.perf_counter()
             tail = np.asarray(out_d[S + cut0 : S + cut])
+            if stats_hook is not None:  # the short-guess second fetch
+                stats_hook["down_n"] = stats_hook.get("down_n", 0) + 1
+                stats_hook["wait_ms"] = (stats_hook.get("wait_ms", 0.0)
+                                         + (time.perf_counter() - t0) * 1e3)
             packed = np.concatenate([first[S:], tail])[:wanted]
         else:
             packed = first[S : S + wanted]
@@ -276,7 +294,8 @@ def _budget_for(wanted: int, k: int, C: int, n: int) -> int:
 
 
 def _reencode_overflow(xinter_dev, start, *, valid, k, wanted, tables,
-                       params, bb_mult, compact_mode, C, n):
+                       params, bb_mult, compact_mode, C, n,
+                       stats: Optional[dict] = None):
     """Re-encode one segment whose kept-pair count `wanted` overflowed the
     dispatched compact budget (or was measured by a stats-only budget=0
     dispatch).  Shared by the solo, single-segment-batch, and
@@ -308,10 +327,15 @@ def _reencode_overflow(xinter_dev, start, *, valid, k, wanted, tables,
         )
         # download only the valid prefix — bucket padding can be most of
         # the tensor for a tail segment
+        t0 = time.perf_counter()
         q_np = np.asarray(take_prefix_device(q_d, valid))[:valid]
         nnz = np.asarray(nnz_d).astype(np.int64)
         scales = np.asarray(scale_d)
         use_raw = np.asarray(use_raw_d)
+        if stats is not None:  # dense fallback: 4 materializations
+            stats["down_n"] = stats.get("down_n", 0) + 4
+            stats["wait_ms"] = (stats.get("wait_ms", 0.0)
+                                + (time.perf_counter() - t0) * 1e3)
         fidx, cidx, kpos = np.nonzero(q_np)
         pairs = np.empty(len(kpos), PAIR_DTYPE)
         pairs["k"] = kpos.astype(np.uint16)
@@ -326,9 +350,15 @@ def _reencode_overflow(xinter_dev, start, *, valid, k, wanted, tables,
     )
     S = k * (2 * C + 1)
     cut0 = min(_len_bucket(wanted, 5), budget2)
+    t0 = time.perf_counter()
     first = np.asarray(out2[: S + cut0])
+    if stats is not None:  # compact-retry fetch
+        stats["down_n"] = stats.get("down_n", 0) + 1
+        stats["wait_ms"] = (stats.get("wait_ms", 0.0)
+                            + (time.perf_counter() - t0) * 1e3)
     nnz, scale, use_raw, _w2, pairs = parse_segment_download(
-        first, out2, k=k, valid=valid, C=C, budget=budget2, cut0=cut0
+        first, out2, k=k, valid=valid, C=C, budget=budget2, cut0=cut0,
+        stats_hook=stats,
     )
     return nnz, scale.copy(), np.asarray(use_raw), pairs
 
@@ -393,8 +423,18 @@ class Encoder:
         # can never change the container bytes.
         self._density_hint: dict = {}
 
-    def encode(self, samples: np.ndarray, channels: int) -> EncodedAudio:
-        """Encode interleaved float32 PCM (codec.rs:421-565)."""
+    def encode(self, samples: np.ndarray, channels: int,
+               stats: Optional[dict] = None) -> EncodedAudio:
+        """Encode interleaved float32 PCM (codec.rs:421-565).
+
+        `stats`, if given, accumulates the solo path's stage/transfer
+        attribution (same contract as `Decoder.decode_i16_stream`):
+        disp_ms (dispatch + async-download kickoff), wait_ms (blocked in
+        downloads + host sparsify), up_n (upload pieces), down_n
+        (download transfers) — each transfer pays the relay's measured
+        per-call floor, which bytes-only link ceilings omit.  Output is
+        identical with or without the hook.
+        """
         samples = np.asarray(samples)
         if np.issubdtype(samples.dtype, np.integer):
             raise TypeError(
@@ -402,24 +442,28 @@ class Encoder:
                 "sources use encode_pcm16() (exact, half the upload)"
             )
         return self._encode_impl(samples.astype(np.float32, copy=False),
-                                 channels, pcm16=False)
+                                 channels, pcm16=False, stats=stats)
 
-    def encode_pcm16(self, samples_i16: np.ndarray, channels: int) -> EncodedAudio:
+    def encode_pcm16(self, samples_i16: np.ndarray, channels: int,
+                     stats: Optional[dict] = None) -> EncodedAudio:
         """Exact fast path for 16-bit integer sources.
 
         Produces the same container as `encode(samples_i16 / 32768.0, ch)` —
         the division happens on device (exact in f32) — while uploading half
-        the bytes.
+        the bytes.  `stats`: see `encode`.
         """
         return self._encode_impl(
-            np.asarray(samples_i16, np.int16), channels, pcm16=True
+            np.asarray(samples_i16, np.int16), channels, pcm16=True,
+            stats=stats,
         )
 
-    def _encode_impl(self, samples, channels: int, *, pcm16: bool) -> EncodedAudio:
+    def _encode_impl(self, samples, channels: int, *, pcm16: bool,
+                     stats: Optional[dict] = None) -> EncodedAudio:
         from ..profiling import maybe_trace
 
         with maybe_trace("encode"):
-            return self._dispatch_encode(samples, channels, pcm16=pcm16)()
+            return self._dispatch_encode(samples, channels, pcm16=pcm16,
+                                         stats=stats)()
 
     def encode_many(self, items) -> list:
         """Multi-file encode: `items` is a sequence of (samples, channels) —
@@ -860,13 +904,28 @@ class Encoder:
                 ),
             )
 
-    def _dispatch_encode(self, samples, channels: int, *, pcm16: bool):
+    def _dispatch_encode(self, samples, channels: int, *, pcm16: bool,
+                         stats: Optional[dict] = None):
         cfg = self.config
         hop, frame_size, n = cfg.hop_size, cfg.frame_size, cfg.n
         C = int(channels)
         total_samples = len(samples)
         if total_samples == 0:
             raise ValueError("cannot encode empty input")
+
+        if stats is not None:
+            for key in ("disp_ms", "wait_ms"):
+                stats.setdefault(key, 0.0)
+            for key in ("up_n", "down_n"):
+                stats.setdefault(key, 0)
+
+        def _st_add(key: str, t0: float) -> None:
+            if stats is not None:
+                stats[key] += (time.perf_counter() - t0) * 1e3
+
+        def _st_n(key: str, k: int = 1) -> None:
+            if stats is not None:
+                stats[key] += k
 
         dtype = np.int16 if pcm16 else np.float32
         lead = hop // 2
@@ -896,7 +955,10 @@ class Encoder:
             total_samples, C, cfg
         )
         xup = bucket_upload(samples, total_samples, Tb, C, dtype)
+        t0_up = time.perf_counter()
         xinter_dev = upload_resident(xup)
+        _st_n("up_n", upload_piece_count(xup))
+        _st_add("disp_ms", t0_up)
         params["pad_hops"] = need_hops
         params["channels"] = C
         params["lead"] = lead
@@ -930,7 +992,9 @@ class Encoder:
 
         def collect(rec):
             start, valid, k, out_d, sliced, cut0, budget = rec
-            first = np.asarray(sliced)
+            t0c = time.perf_counter()
+            first = np.asarray(sliced)  # counted at slice_async kickoff
+            _st_add("wait_ms", t0c)
             # The stream is frame-ordered, so the valid frames' pairs occupy
             # exactly the first `wanted` slots of the packed array — intact
             # as long as wanted ≤ budget, regardless of what bucket-padding
@@ -940,7 +1004,7 @@ class Encoder:
             # (parse_segment_download counts nnz[:valid] only).
             nnz, scale, use_raw, wanted, pairs = parse_segment_download(
                 first, out_d, k=k, valid=valid, C=C, budget=budget,
-                cut0=cut0,
+                cut0=cut0, stats_hook=stats,
             )
             self._pair_guess[(C, k)] = wanted + wanted // 4 + 1
             self._density_hint[C] = wanted / (valid * C)
@@ -955,7 +1019,7 @@ class Encoder:
                     xinter_dev, start, valid=valid, k=k, wanted=wanted,
                     tables=tables, params=params,
                     bb_mult=cfg.compact_bb_mult,
-                    compact_mode=cfg.compact_mode, C=C, n=n,
+                    compact_mode=cfg.compact_mode, C=C, n=n, stats=stats,
                 )
 
             nnz_all[start : start + valid] = nnz[:valid]
@@ -974,12 +1038,15 @@ class Encoder:
                 rbudget = min(_len_bucket(len(ridx), 4), k)
                 idx_pad = np.zeros(rbudget, np.int32)
                 idx_pad[: len(ridx)] = ridx
+                t0r = time.perf_counter()
                 rows = np.asarray(
                     gather_raw_interleaved_device(
                         xinter_dev, idx_pad, tb.window,
                         channels=C, lead=lead, pad_hops=need_hops,
                         pcm16=pcm16)
                 )[: len(ridx)]
+                _st_add("wait_ms", t0r)
+                _st_n("down_n")
                 # channel-major flatten — the reference's actual storage
                 # layout (codec.rs:471-503, quirk Q13)
                 raw_parts.append(rows.reshape(-1, C * frame_size))
@@ -987,6 +1054,7 @@ class Encoder:
         for start, k in plan:
             valid = min(k, F - start)
             budget = _pick_budget(self._density_hint.get(C), k, C, n)
+            t0d = time.perf_counter()
             out_d = encode_interleaved_device(
                 xinter_dev, np.int32(start), np.int32(valid), *tables,
                 k_frames=k, budget=budget,
@@ -994,6 +1062,8 @@ class Encoder:
                 compact_mode=cfg.compact_mode, **params
             )
             sliced, cut0 = slice_async(out_d, k, budget)
+            _st_add("disp_ms", t0d)
+            _st_n("down_n")  # slice_async started one async download
             segs.append((start, valid, k, out_d, sliced, cut0, budget))
             if len(segs) > 4:
                 collect(segs.pop(0))

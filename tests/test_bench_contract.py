@@ -23,7 +23,7 @@ import bench  # noqa: E402
 def _representative_summary():
     """Every summary key bench can emit, with worst-case-width values."""
     return {
-        "long600": {"x": 8888.8, "pct_adj": 100.0,
+        "long600": {"x": 8888.8, "pct_adj": 100.0, "ceil_fl": 100.0,
                     "runs": [8888.8, 8888.8, 8888.8, 8888.8], "fresh": True},
         "decode": {"x": 8888.8, "med": 8888.8, "ceil_pct": 100.0,
                    "cp": [888, 888], "ceil_fl": 100.0,
@@ -56,6 +56,7 @@ def _representative_flagship():
         "pct_of_link_ceiling": 100.0,
         "pct_of_link_ceiling_best_run": 100.0,
         "pct_of_link_ceiling_range": [888, 888],
+        "pct_of_protocol_ceiling": 100.0,
     }
 
 

@@ -583,3 +583,26 @@ def test_shift_compaction_matches_element_scatter():
     q5 = np.where(rng.random((1, 2, n4)) < 0.01,
                   rng.integers(-3000, 3000, (1, 2, n4)), 0).astype(np.int16)
     both(q5, (q5 != 0).sum(-1).astype(np.int32), 2, n4, n4 // 2)
+
+
+def test_encode_stats_hook_accumulates_and_is_inert():
+    """The encoder's stage/transfer attribution hook (bench's protocol-
+    ceiling floor model consumes up_n/down_n) must count one resident
+    upload and at least one download per planned segment, and never change
+    the container bytes."""
+    from glc_tpu.codec.encoder import upload_geometry
+
+    samples = generate_frequency_sweep(150.0, 4000.0, 44100, 2, 6.0)
+    enc = Encoder(44100, config=CodecConfig(encode_chunk_frames=128))
+    plain = serialize_encoded(enc.encode(samples, 2))
+    stats: dict = {}
+    hooked = serialize_encoded(enc.encode(samples, 2, stats=stats))
+    assert plain == hooked
+    assert set(stats) == {"disp_ms", "wait_ms", "up_n", "down_n"}
+    _t, _f, _pad, plan, _nh, _tb = upload_geometry(
+        len(samples), 2, enc.config
+    )
+    assert len(plan) > 1, "geometry must span multiple segments"
+    assert stats["up_n"] >= 1
+    assert stats["down_n"] >= len(plan)
+    assert stats["disp_ms"] > 0 and stats["wait_ms"] >= 0
